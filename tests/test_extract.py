@@ -1,0 +1,114 @@
+"""Extraction-stage tests: the byte-identical per-url text invariant
+(BASELINE.json) plus span/structure checks, end-to-end through Spark."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from webxtract.ops.assemble import avg_confidence_expr, page_concat_expr, span_join_expr
+from webxtract.ops.extract import extract_pages
+from webxtract.ops.extract_html import extract_html
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, corpus):
+    pages_path, expected = corpus
+    df = extract_pages(spark.read.parquet(pages_path))
+    got = df.toPandas().set_index("url").sort_index()
+    exp = expected.set_index("url").sort_index()
+    assert len(got) == len(exp)
+    return got, exp
+
+
+def test_byte_identical_text_per_url(extracted):
+    got, exp = extracted
+    mismatches = []
+    for url in exp.index:
+        g = got.loc[url, "extracted_text"]
+        e = exp.loc[url, "extracted_text"]
+        if (g if pd.notna(g) else None) != (e if pd.notna(e) else None):
+            mismatches.append(url)
+    assert mismatches == [], f"{len(mismatches)} urls with non-identical text"
+
+
+def test_source_kind_and_failures(extracted):
+    got, exp = extracted
+    assert (got["source_kind"] == exp["source_kind"]).all()
+    assert (got["parse_failure"] == exp["parse_failure"]).all()
+
+
+def test_spans_reassemble_to_text(extracted):
+    """Spans joined with the page separator must reproduce extracted_text,
+    and bbox char offsets must index into it."""
+    got, _ = extracted
+    for url, row in got.iterrows():
+        if row["parse_failure"] or row["spans"] is None:
+            continue
+        spans = list(row["spans"])
+        assert "\n\n".join(s["text"] for s in spans) == row["extracted_text"]
+        for s in spans:
+            lo, hi = int(s["bbox"]["x_min"]), int(s["bbox"]["x_max"])
+            assert row["extracted_text"][lo:hi] == s["text"]
+            assert 0.0 <= s["confidence"] <= 1.0
+
+
+def test_boilerplate_dropped():
+    html = (
+        b"<html><body><nav><a href='/a'>one two three four</a></nav>"
+        b"<article><h1>Title Here</h1><p>the quick brown fox jumps over the dog</p></article>"
+        b"<p>ok</p>"
+        b"<div><a href='/x'>link only farm text</a></div>"
+        b"<footer><p>copyright words and more words</p></footer></body></html>"
+    )
+    text, spans, failed = extract_html(html)
+    assert not failed
+    assert text == "Title Here\n\nthe quick brown fox jumps over the dog"
+
+
+def test_entity_unescape():
+    text, _, _ = extract_html(
+        b"<p>Tom &amp; Jerry &lt;&lt;MRZ&gt;&gt; fields here</p>"
+    )
+    assert text == "Tom & Jerry <<MRZ>> fields here"
+
+
+def test_assembly_exprs_match_udf(spark, extracted):
+    """The expression-side assembly twins (E1/E5) agree with the UDF."""
+    got, _ = extracted
+    ok_rows = got[~got["parse_failure"]].reset_index()
+    sdf = spark.createDataFrame(ok_rows[["url", "extracted_text", "spans"]])
+    res = (
+        sdf.select(
+            "url",
+            "extracted_text",
+            "spans",
+            span_join_expr("spans").alias("space_joined"),
+            page_concat_expr(F.transform("spans", lambda s: s["text"])).alias(
+                "nn_joined"
+            ),
+            avg_confidence_expr("spans").alias("avg_conf"),
+        )
+        .toPandas()
+        .set_index("url")
+    )
+    for url, row in res.iterrows():
+        span_texts = [s["text"] for s in row["spans"]]
+        confs = [s["confidence"] for s in row["spans"]]
+        assert row["nn_joined"] == row["extracted_text"]
+        assert row["space_joined"] == " ".join(span_texts)
+        assert row["avg_conf"] == pytest.approx(sum(confs) / len(confs))
+
+
+def test_no_shuffle_in_extraction_plan(spark, corpus):
+    """The extraction stage must stay narrow: no Exchange in the plan,
+    and the scan must prune to exactly the five input columns."""
+    import contextlib
+    import io
+
+    pages_path, _ = corpus
+    df = extract_pages(spark.read.parquet(pages_path))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan

@@ -1,0 +1,90 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Centralizes every config that affects correctness (timezone, ANSI mode)
+or 100TB-scale behavior (AQE, Arrow batch size, partition byte caps) so
+tests, bench and production jobs agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from webxtract.config import ARROW_MAX_RECORDS_PER_BATCH
+
+
+def get_spark(
+    app_name: str = "webxtract",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in this sandbox;
+    on a real cluster it is supplied by spark-submit and must be left None.
+    """
+    if master is None and os.environ.get("SPARK_GRAFT_CPUS"):
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+
+    conf = {
+        # Determinism: frozen zone for all timestamp/date arithmetic.
+        "spark.sql.session.timeZone": "UTC",
+        # Tolerant date parsing (try_to_date-style null-on-miss) mirrors the
+        # reference's try-in-order parser (validators/base.py:56-98).
+        "spark.sql.ansi.enabled": "false",
+        # Runtime re-planning: coalesce small shuffle partitions, split skew.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow for all pandas UDF exchange; small batches because rows
+        # carry multi-KB..MB html blobs.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(
+            ARROW_MAX_RECORDS_PER_BATCH
+        ),
+        # Bound scan-task size by bytes, not row count: one task must not
+        # swallow all the whale documents (SURVEY.md §4.3.1).
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions
+            if shuffle_partitions is not None
+            else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        ),
+        "spark.driver.memory": os.environ.get("WEBXTRACT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the webxtract package to Python workers.
+
+    Executors unpickle the extraction UDFs by module reference, so the
+    package must be importable on every worker — the in-code equivalent
+    of ``spark-submit --py-files webxtract.zip``. Idempotent per session.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_webxtract_shipped", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = pathlib.Path(tempfile.gettempdir()) / "webxtract_pyfiles.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    sc.addPyFile(str(zip_path))
+    sc._webxtract_shipped = True
