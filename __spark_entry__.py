@@ -1,38 +1,96 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: full extraction+validation pipeline over a
+               pages table synthesized from sf0.001 documents.
+queries()    — one callable per implemented operator (SURVEY.md §2 +
+               the training-data toolkit), (spark, sf_dir) -> DataFrame.
+oracle_sql() — exactly-matching DuckDB SQL for every SQL-expressible
+               query; LSH/simhash/ANN ops are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _prep(spark: SparkSession) -> None:
+    from webxtract.session import _ship_package
+
+    _ship_package(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: documents -> HTML pages -> extraction ->
+    fields -> type detection -> fake scoring -> validation battery."""
+    _prep(spark)
+    from webxtract.contract import _pages_from_documents
+    from webxtract.pipeline import run_pipeline
+
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001", pdf=False)
+    out = run_pipeline(pages, run_date="2026-01-15")
+    return out.select(
+        "url",
+        "extracted_text",
+        "source_kind",
+        "parse_failure",
+        "doc_type.document_type",
+        "fake_detection.is_fake",
+        "validation_summary.overall_status",
+        "success",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from webxtract import contract as c
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):  # ensure the package is shipped to python workers
+        def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        return inner
+
+    return {
+        # relational core
+        "tpch_q1_agg": wrap(c.q_tpch_q1_agg),
+        "broadcast_revenue_by_nation": wrap(c.q_broadcast_revenue_by_nation),
+        "window_top3_orders": wrap(c.q_window_top3_orders),
+        "sessionize_events": wrap(c.q_sessionize_events),
+        # extraction operators (S1-S3, E1-E5)
+        "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
+        "extract_pdf_roundtrip": wrap(c.q_extract_pdf_roundtrip),
+        "page_concat_e5": wrap(c.q_page_concat_e5),
+        # field layer (E6/E7) + detection (D1-D8) + fake (F1-F6)
+        "field_extraction_e6": wrap(c.q_field_extraction_e6),
+        "doc_type_cascade": wrap(c.q_doc_type_cascade),
+        "fake_detection": wrap(c.q_fake_detection),
+        # validators (V1-V46 + V-agg)
+        "validator_expiry": wrap(c.q_validator_expiry),
+        "luhn_checksum": wrap(c.q_luhn_checksum),
+        "validation_battery": wrap(c.q_validation_battery),
+        # text analysis
+        "quality_signals": wrap(c.q_quality_signals),
+        "lang_id": wrap(c.q_lang_id),
+        "fingerprint": wrap(c.q_fingerprint),
+        # dedup
+        "exact_dedup": wrap(c.q_exact_dedup),
+        "ngram_jaccard_consecutive": wrap(c.q_ngram_jaccard_consecutive),
+        "minhash_lsh_pairs": wrap(c.q_minhash_lsh_pairs),
+        "simhash_groups": wrap(c.q_simhash_groups),
+        # similarity search
+        "cosine_topk": wrap(c.q_cosine_topk),
+        "ann_lsh_topk": wrap(c.q_ann_lsh_topk),
+        "embedding_near_dup": wrap(c.q_embedding_near_dup),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from webxtract.oracles import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,128 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus extraction throughput details}.
+
+The extraction corpus (the BASELINE.json input shape) is synthesized
+deterministically at a scale matching the sf dir and cached under
+.bench_cache/ — no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIRS = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1, "sf1": 1.0}
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return SF_DIRS.get(base, 0.1)
+
+
+def _force(df) -> int:
+    """Fully evaluate a DataFrame (noop sink: no write cost, no collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _corpus_path(sf: float) -> str:
+    n_rows = max(1000, int(sf * 1_000_000))
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"pages_{n_rows}"
+    )
+    marker = os.path.join(cache, "pages.parquet")
+    if not os.path.exists(marker):
+        from webxtract.synth import write_corpus
+
+        write_corpus(cache, n_rows, "2026-01-15")
+    return marker
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_of(sf_dir)
+
+    from pyspark.sql import functions as F
+
+    from webxtract import contract
+    from webxtract.pipeline import run_pipeline
+    from webxtract.session import get_spark
+
+    spark = get_spark(
+        "webxtract-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = _corpus_path(sf)
+    pages = spark.read.parquet(corpus)
+    n_docs = pages.count()
+    n_bytes = pages.select(
+        F.sum(F.coalesce(F.length("html"), F.length("text"), F.lit(0)))
+    ).collect()[0][0]
+
+    timings: dict[str, float] = {}
+
+    def run(name, thunk):  # noqa: ANN001
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: the full extraction+validation pipeline over the
+    # BASELINE-shaped page corpus
+    run("extract_pipeline", lambda: _force(
+        run_pipeline(spark.read.parquet(corpus), run_date="2026-01-15")
+    ))
+    # extraction only (the north-rule throughput metric)
+    from webxtract.ops.extract import extract_pages
+
+    run("extract_only", lambda: _force(extract_pages(spark.read.parquet(corpus))))
+
+    # operator benchmarks over the driver tables
+    for name, fn in [
+        ("tpch_q1_agg", contract.q_tpch_q1_agg),
+        ("broadcast_revenue_by_nation", contract.q_broadcast_revenue_by_nation),
+        ("window_top3_orders", contract.q_window_top3_orders),
+        ("sessionize_events", contract.q_sessionize_events),
+        ("exact_dedup", contract.q_exact_dedup),
+        ("quality_signals", contract.q_quality_signals),
+        ("fingerprint", contract.q_fingerprint),
+        ("cosine_topk", contract.q_cosine_topk),
+        ("minhash_lsh_pairs", contract.q_minhash_lsh_pairs),
+    ]:
+        run(name, lambda fn=fn: _force(fn(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    extract_sec = timings["extract_only"]
+    print(
+        json.dumps(
+            {
+                "metric": "webxtract_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extraction_docs": n_docs,
+                "extraction_bytes": int(n_bytes),
+                "extraction_docs_per_sec": round(n_docs / extract_sec, 1),
+                "extraction_mb_per_sec": round(n_bytes / 1e6 / extract_sec, 2),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Scaling-efficiency evidence (BASELINE.md): run the identical
+extraction job on the identical input at two parallelism levels
+(local[N] vs local[4N]) and report docs/sec, MB/sec and efficiency
+= (T_N / T_4N) / 4.
+
+Usage: python scripts/scaling_run.py [n_rows] [N]
+Writes BENCH/SCALING.json and prints a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cores: int, corpus: str) -> dict:
+    """One cold JVM per parallelism level, same input, same job."""
+    from pyspark.sql import functions as F
+
+    from webxtract.ops.extract import extract_pages
+    from webxtract.session import get_spark
+
+    spark = get_spark(
+        f"webxtract-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(corpus)
+    n_docs = pages.count()
+    n_bytes = pages.select(
+        F.sum(F.coalesce(F.length("html"), F.length("text"), F.lit(0)))
+    ).collect()[0][0]
+
+    # warm-up: force plan compilation + parquet footer caches once so the
+    # timed run measures execution, not one-time JVM/codegen cost
+    extract_pages(pages.limit(64)).write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    extract_pages(pages).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cores": cores,
+        "wall_sec": round(wall, 3),
+        "docs": n_docs,
+        "bytes": int(n_bytes),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(n_bytes / 1e6 / wall, 2),
+    }
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    cache = os.path.join(REPO, ".bench_cache", f"pages_{n_rows}")
+    corpus = os.path.join(cache, "pages.parquet")
+    if not os.path.exists(corpus):
+        from webxtract.synth import write_corpus
+
+        write_corpus(cache, n_rows, "2026-01-15")
+
+    low = run_at(n, corpus)
+    high = run_at(4 * n, corpus)
+    efficiency = round(low["wall_sec"] / high["wall_sec"] / 4, 3)
+    out = {
+        "job": "extract_pages (read -> route -> UDF extract -> noop sink)",
+        "input_rows": n_rows,
+        "low": low,
+        "high": high,
+        "scaling_efficiency": efficiency,
+        "target": 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Rules-layer tests: field extraction round-trip, type-detection
+cascade, fake/specimen scoring, and the validator battery (ports the 19
+cases from /root/reference/test_canadian_dl_validators.py:52-315 with a
+pinned run_date instead of datetime.now())."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from webxtract.pipeline import run_pipeline
+from webxtract.schemas import FIELD_NAMES
+
+RUN_DATE = "2026-01-15"
+
+
+@pytest.fixture(scope="module")
+def full(spark, corpus):
+    pages_path, expected = corpus
+    df = run_pipeline(spark.read.parquet(pages_path), run_date=RUN_DATE)
+    got = df.toPandas().set_index("url").sort_index()
+    exp = expected.set_index("url").sort_index()
+    return got, exp
+
+
+def _id_pages(exp):
+    return exp[exp["expected_doc_type"].notna()]
+
+
+def test_field_extraction_roundtrip(full):
+    got, exp = full
+    ids = _id_pages(exp)
+    assert len(ids) > 50
+    for url, erow in ids.iterrows():
+        grow = got.loc[url]
+        for f in FIELD_NAMES:
+            planted = erow[f] if erow[f] is not None else None
+            parsed = grow[f] if grow[f] is not None else None
+            assert parsed == planted, f"{url} field {f}: {parsed!r} != {planted!r}"
+
+
+def test_non_id_pages_have_null_fields(full):
+    got, exp = full
+    non_ids = exp[exp["expected_doc_type"].isna() & (exp["source_kind"] == "html")]
+    sub = got.loc[non_ids.index]
+    for f in FIELD_NAMES:
+        assert sub[f].isna().all(), f"field {f} leaked on non-ID pages"
+
+
+def test_doc_type_detection(full):
+    got, exp = full
+    ids = _id_pages(exp)
+    bad = []
+    for url, erow in ids.iterrows():
+        det = got.loc[url, "doc_type"]
+        if det["document_type"] != erow["expected_doc_type"]:
+            bad.append((url, det["document_type"], erow["expected_doc_type"]))
+    assert bad == [], f"{len(bad)} misdetections, e.g. {bad[:5]}"
+
+
+def test_doc_type_unknown_for_articles(full):
+    got, exp = full
+    non_ids = exp[exp["expected_doc_type"].isna() & (exp["source_kind"] == "html")]
+    for url in non_ids.index:
+        det = got.loc[url, "doc_type"]
+        assert det["document_type"] == "unknown", (url, det["document_type"])
+        assert det["confidence"] == 0.0
+
+
+def test_fake_detection(full):
+    got, exp = full
+    ids = _id_pages(exp)
+    bad = []
+    for url, erow in ids.iterrows():
+        fd = got.loc[url, "fake_detection"]
+        if bool(fd["is_fake"]) != bool(erow["is_fake_doc"]):
+            bad.append((url, fd["is_fake"], list(fd["reasons"])))
+    assert bad == [], f"{len(bad)} fake mis-flags, e.g. {bad[:5]}"
+
+
+def test_integrity_and_summary_shape(full):
+    got, exp = full
+    ids = _id_pages(exp)
+    for url in ids.index:
+        row = got.loc[url]
+        fd = row["fake_detection"]
+        assert row["integrity_score"] == pytest.approx(
+            max(0.0, 1.0 - fd["confidence"])
+        )
+        s = row["validation_summary"]
+        total = s["total_checks"]
+        assert total in (5, 6)
+        assert (
+            s["passed_checks"] + s["failed_checks"]
+            + s["warning_checks"] + s["skipped_checks"] == total
+        )
+        names = [r["validator_name"] for r in row["validation_results"]]
+        assert names[:5] == [
+            "data_consistency", "document_expiry", "age_validation",
+            "document_format", "face_matching",
+        ]
+
+
+# ---------------------------------------------------------------- ported
+# reference validator cases (test_canadian_dl_validators.py:52-315),
+# dates pinned relative to RUN_DATE exactly as the reference builds them
+# relative to datetime.now() (:25-37).
+
+_RUN = dt.date.fromisoformat(RUN_DATE)
+_DOB = (_RUN - dt.timedelta(days=365 * 30)).isoformat()
+_ISSUE = (_RUN - dt.timedelta(days=365 * 2)).isoformat()
+_EXPIRY = (_RUN + dt.timedelta(days=365 * 3)).isoformat()
+_DOB_D = dt.date.fromisoformat(_DOB)
+_EXP_BDAY = _DOB_D.replace(year=_RUN.year + 3).isoformat()
+_DOB_ENC = _DOB_D.strftime("%y%m%d")
+_ONTARIO_NUM = f"S1234-5678{_DOB_ENC[0]}-{_DOB_ENC[1:]}"
+
+# (name, validator_enum, fields_partial, expect_pass)
+VALIDATOR_CASES = [
+    ("ontario_valid", "ontario_drivers_license",
+     {"document_number": _ONTARIO_NUM, "full_name": "SMITH, JOHN MICHAEL",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("ontario_wrong_letter", "ontario_drivers_license",
+     {"document_number": "A1234-12345-12345", "full_name": "SMITH, JOHN",
+      "date_of_birth": _DOB, "expiry_date": _EXP_BDAY}, False),
+    ("bc_valid", "bc_drivers_license",
+     {"document_number": "1234567", "full_name": "JONES, SARAH",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("alberta_valid", "alberta_drivers_license",
+     {"document_number": "123456-789", "full_name": "WILLIAMS, ROBERT",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("quebec_valid", "quebec_drivers_license",
+     {"document_number": "T1234-567890-12", "full_name": "TREMBLAY, MARIE",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("quebec_wrong_letter", "quebec_drivers_license",
+     {"document_number": "A1234-567890-12", "full_name": "TREMBLAY, MARIE",
+      "date_of_birth": _DOB, "expiry_date": _EXP_BDAY}, False),
+    # Reference quirk (SURVEY.md §7.4.5): the reference's own test calls
+    # "ABCD-123-456" valid, but its Manitoba validator requires 9 digits
+    # (manitoba_dl.py:78) and FAILS it; the 4-letters+6-digits idea only
+    # exists in document_format.py:21. We replicate the validator (spec).
+    ("manitoba_ref_quirk", "manitoba_drivers_license",
+     {"document_number": "ABCD-123-456", "full_name": "ANDERSON, DAVID",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, False),
+    ("manitoba_valid_9digit", "manitoba_drivers_license",
+     {"document_number": "428051376", "full_name": "ANDERSON, DAVID",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("saskatchewan_valid", "saskatchewan_drivers_license",
+     {"document_number": "12345678", "full_name": "JOHNSON, EMILY",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("saskatchewan_short", "saskatchewan_drivers_license",
+     {"document_number": "12345", "full_name": "JOHNSON, EMILY",
+      "date_of_birth": _DOB, "expiry_date": _EXPIRY}, False),
+    ("nova_scotia_valid", "nova_scotia_drivers_license",
+     {"document_number": "MACDO123456789", "full_name": "MACDONALD, JAMES",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("new_brunswick_valid", "new_brunswick_drivers_license",
+     {"document_number": "1234567", "full_name": "LEBLANC, NICOLE",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("pei_valid", "pei_drivers_license",
+     {"document_number": "123456", "full_name": "CAMPBELL, ANNE",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("pei_short_valid", "pei_drivers_license",
+     {"document_number": "123", "full_name": "CAMPBELL, ANNE",
+      "date_of_birth": _DOB, "expiry_date": _EXP_BDAY}, True),
+    ("newfoundland_valid", "newfoundland_drivers_license",
+     {"document_number": "O123456789", "full_name": "O'BRIEN, PATRICK",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("newfoundland_wrong_letter", "newfoundland_drivers_license",
+     {"document_number": "A123456789", "full_name": "O'BRIEN, PATRICK",
+      "date_of_birth": _DOB, "expiry_date": _EXPIRY}, False),
+    ("nwt_valid", "nwt_drivers_license",
+     {"document_number": "123456", "full_name": "TOOTOO, MARY",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("nunavut_valid", "nunavut_drivers_license",
+     {"document_number": "123456", "full_name": "IQALUK, PETER",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("yukon_valid", "yukon_drivers_license",
+     {"document_number": "123456", "full_name": "GOLD, SARAH",
+      "date_of_birth": _DOB, "issue_date": _ISSUE, "expiry_date": _EXP_BDAY}, True),
+    ("ontario_underage", "ontario_drivers_license",
+     {"document_number": "S1234-12345-112345", "full_name": "SMITH, TOMMY",
+      "date_of_birth": (_RUN - dt.timedelta(days=365 * 14)).isoformat(),
+      "expiry_date": _EXPIRY}, False),
+    ("bc_expired", "bc_drivers_license",
+     {"document_number": "1234567", "full_name": "EXPIRED, TEST",
+      "date_of_birth": _DOB,
+      "expiry_date": (_RUN - dt.timedelta(days=30)).isoformat()}, False),
+]
+
+
+@pytest.fixture(scope="module")
+def validator_statuses(spark):
+    from webxtract.ops.validators import type_specific_validator, with_parsed_dates
+
+    rows = []
+    for name, venum, data, expect in VALIDATOR_CASES:
+        row = {f: data.get(f) for f in FIELD_NAMES}
+        row.update(case=name, venum=venum, expect_pass=expect)
+        rows.append(row)
+    schema = "case string, venum string, expect_pass boolean, " + ", ".join(
+        f"{f} string" for f in FIELD_NAMES
+    )
+    df = with_parsed_dates(spark.createDataFrame(rows, schema=schema))
+    res = df.select(
+        "case",
+        "expect_pass",
+        type_specific_validator(
+            F.col("venum"), F.to_date(F.lit(RUN_DATE))
+        ).alias("result"),
+    ).toPandas()
+    return res.set_index("case")
+
+
+def test_ported_reference_validator_cases(validator_statuses):
+    # pass criterion as in the reference: status in {passed, warning}
+    # (test_canadian_dl_validators.py:333-335)
+    failures = []
+    for case, row in validator_statuses.iterrows():
+        status = row["result"]["status"]
+        passed = status in ("passed", "warning")
+        if passed != row["expect_pass"]:
+            failures.append((case, status, row["result"]["message"]))
+    assert failures == [], failures
+
+
+def test_luhn_known_specimen(spark):
+    """Dual assertion on the OHIP specimen number 5584486674
+    (fake_document_detector.py:96): it is fake-flagged AND — contrary to
+    SURVEY.md §5.2's note — Luhn-INVALID under the reference's own
+    algorithm (ontario_health_card.py:28-59); 5584486673 is the valid
+    checksum variant."""
+    from webxtract.ops.fake import fake_result_expr
+    from webxtract.ops.validators import _luhn_valid_expr
+
+    df = spark.createDataFrame(
+        [{"n": "5584486674"}, {"n": "5584486673"}, {"n": "79927398713"}]
+    ).select("n", _luhn_valid_expr(F.col("n")).alias("luhn"))
+    res = {r["n"]: r["luhn"] for r in df.collect()}
+    assert res["5584486674"] is False
+    assert res["5584486673"] is True
+    assert res["79927398713"] is True  # canonical Luhn test vector
+
+    row = {f: None for f in FIELD_NAMES}
+    row["document_number"] = "5584486674"
+    fake = (
+        spark.createDataFrame([row], schema=", ".join(f"{f} string" for f in FIELD_NAMES))
+        .select(fake_result_expr().alias("fd"))
+        .collect()[0]["fd"]
+    )
+    assert fake["is_fake"] is True
+    assert any("specimen document number" in r.lower() for r in fake["reasons"])
+
+
+def test_base_validators_skip_semantics(spark):
+    from webxtract.ops.validators import validation_results_expr, with_parsed_dates
+
+    row = {f: None for f in FIELD_NAMES}
+    df = with_parsed_dates(
+        spark.createDataFrame(
+            [row], schema=", ".join(f"{f} string" for f in FIELD_NAMES)
+        )
+    )
+    results = (
+        df.select(
+            validation_results_expr(
+                F.lit("unknown"), F.to_date(F.lit(RUN_DATE))
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    by_name = {r["validator_name"]: r["status"] for r in results}
+    assert by_name == {
+        "data_consistency": "skipped",
+        "document_expiry": "skipped",
+        "age_validation": "skipped",
+        "document_format": "skipped",
+        "face_matching": "skipped",
+    }

@@ -1,0 +1,398 @@
+"""Driver-contract queries: each SURVEY.md §2 operator exposed as a
+(spark, sf_dir) -> DataFrame callable with (where SQL-expressible) an
+exactly-matching DuckDB oracle.
+
+Design rules for oracle parity:
+- every hash is the engine-neutral polynomial hash (h*31+cp mod 2^31-1)
+  — never xxhash64/murmur;
+- every float output is round(x, 2..6) and both engines compute in
+  float64 with the same summation order;
+- every column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from webxtract import dedup, similarity, textops
+from webxtract.ops import assemble
+from webxtract.ops.detect_type import doc_type_expr
+from webxtract.ops.extract import extract_pages
+from webxtract.ops.fake import fake_result_expr
+from webxtract.ops.fields import field_expr
+from webxtract.ops.validators import (
+    _luhn_valid_expr,
+    document_expiry_validator,
+    validation_results_expr,
+    validation_summary_expr,
+    with_parsed_dates,
+)
+from webxtract.schemas import FIELD_NAMES
+
+RUN_DATE = "2026-01-15"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------ relational
+
+
+def q_tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: partial (map-side) agg + one shuffle
+    on a 6-value grouping key; filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_broadcast_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders with the 25-row nation dim explicitly
+    broadcast — no shuffle for the dim side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_window_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice: one shuffle on the
+    window partition key, deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the standard two-window formulation, single shuffle on
+    user_id."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_breaks = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("brk"),
+    )
+    sess = with_breaks.select(
+        "user_id",
+        "event_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ------------------------------------------------------------ extraction
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str, pdf: bool = False) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    payload = (
+        F.concat(F.lit("%PDF-1.4\n%%PAGE 1\n"), F.col("text"))
+        if pdf
+        else F.concat(
+            F.lit('<html><body><nav><a href="/h">home links nav bar</a></nav>'
+                  "<article><p>"),
+            F.col("text"),
+            F.lit("</p></article><footer><p>footer boilerplate words</p>"
+                  "</footer></body></html>"),
+        )
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(payload, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
+def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 analog end-to-end through the mapInPandas UDF: wrap each
+    document's text in boilerplated HTML, extract, demand byte-identity
+    (the oracle is the original text)."""
+    pages = _pages_from_documents(spark, sf_dir, pdf=False)
+    return extract_pages(pages).select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "extracted_text",
+    )
+
+
+def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 analog through the PDF leg (magic-byte routing + page parse)."""
+    pages = _pages_from_documents(spark, sf_dir, pdf=True)
+    return extract_pages(pages).select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "extracted_text",
+        "n_pages",
+    )
+
+
+def q_page_concat_e5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 page-concat invariant as a pure expression (nulls and blanks
+    dropped, \\n\\n separator)."""
+    d = _t(spark, sf_dir, "documents")
+    pages = F.array(
+        F.col("text"), F.lit(""), F.lit(None).cast("string"), F.upper("lang")
+    )
+    return d.select("doc_id", assemble.page_concat_expr(pages).alias("joined"))
+
+
+def q_field_extraction_e6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 labeled-field parse round-trip over customer-derived text."""
+    c = _t(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("First Name: "), F.col("c_name"),
+        F.lit("\nAddress: "), F.concat(F.lit("seg  "), F.col("c_mktsegment")),
+        F.lit("\nDocument Number: "), F.col("c_custkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        field_expr(text, "first_name").alias("first_name"),
+        field_expr(text, "address").alias("address"),
+        field_expr(text, "document_number").alias("document_number"),
+    )
+
+
+# ------------------------------------------------- detection / fake / valid
+
+
+def _derived_fields_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 13-field records derived from doc_id — each modulo
+    class lands in a known detection-cascade branch."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    cols = {name: F.lit(None).cast("string") for name in FIELD_NAMES}
+    cols["document_title"] = (
+        F.when(m == 0, "Driver Licence Ontario")
+        .when(m == 1, "Passport")
+        .when(m == 2, "Passport")
+        .when(m == 3, "Health Card OHIP Ontario")
+        .when(m == 4, "Permanent Resident Card Canada")
+        .otherwise(F.lit(None))
+    )
+    cols["country_code"] = (
+        F.when(m == 1, "CAN").when(m == 2, "JPN").otherwise(F.lit(None))
+    )
+    cols["document_number"] = F.when(m == 5, "83741265").otherwise(F.lit(None))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_doc_type_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D8 detection cascade on modulo-derived fields — the oracle is
+    the statically-known branch per modulo class."""
+    df = _derived_fields_df(spark, sf_dir)
+    dt = doc_type_expr()
+    return df.select(
+        "doc_id",
+        dt["document_type"].alias("document_type"),
+        F.round(dt["confidence"], 2).alias("confidence"),
+        dt["country"].alias("country"),
+        dt["state_province"].alias("state_province"),
+    )
+
+
+def q_fake_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F6 + F-agg on modulo-derived fields with known scores."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    cols = {name: F.lit(None).cast("string") for name in FIELD_NAMES}
+    cols["first_name"] = F.when(m == 0, "John").otherwise("Alice")
+    cols["last_name"] = F.when(m == 0, "Doe").otherwise("Wong")
+    cols["document_number"] = F.when(m == 1, "123456789").otherwise("K8273645")
+    cols["address"] = F.when(m == 2, "123 Main Street West").otherwise(
+        "88 Harbour View Road"
+    )
+    fields = d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    fd = fake_result_expr()
+    return fields.select(
+        "doc_id",
+        fd["is_fake"].alias("is_fake"),
+        F.round(fd["confidence"], 2).alias("confidence"),
+    )
+
+
+def q_validator_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 document-expiry validator statuses over a sweep of expiry
+    dates around the frozen run_date."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    expiry = F.date_add(F.to_date(F.lit(RUN_DATE)), ((F.col("doc_id") % 100) - 50).cast("int"))
+    cols = {name: F.lit(None).cast("string") for name in FIELD_NAMES}
+    cols["expiry_date"] = expiry.cast("string")
+    fields = with_parsed_dates(
+        d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    )
+    v = document_expiry_validator(F.to_date(F.lit(RUN_DATE)))
+    return fields.select("doc_id", v["status"].alias("status"))
+
+
+def q_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V11's Luhn mod-10 as a higher-order aggregate over derived
+    10-digit numbers."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    number = F.lpad((F.col("doc_id") * 37 % 1_000_000_000).cast("string"), 10, "7")
+    return d.select(
+        "doc_id",
+        number.alias("number"),
+        _luhn_valid_expr(number).alias("luhn_valid"),
+    )
+
+
+def q_validation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full battery + V-agg summary on expiry-only records: exactly one
+    active check, statically predictable summary."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    expiry = F.date_add(F.to_date(F.lit(RUN_DATE)), ((F.col("doc_id") % 100) - 50).cast("int"))
+    cols = {name: F.lit(None).cast("string") for name in FIELD_NAMES}
+    cols["expiry_date"] = expiry.cast("string")
+    fields = with_parsed_dates(
+        d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    )
+    results = validation_results_expr(F.lit("unknown"), F.to_date(F.lit(RUN_DATE)))
+    step = fields.select("doc_id", results.alias("results"))
+    s = validation_summary_expr(F.col("results"))
+    return step.select(
+        "doc_id",
+        s["overall_status"].alias("overall_status"),
+        F.round(s["validation_score"], 2).alias("validation_score"),
+        s["skipped_checks"].alias("skipped_checks"),
+    )
+
+
+# ------------------------------------------------------------- text ops
+
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q = textops.quality_exprs(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in q.items()])
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textops.lang_id_expr(F.col("text")).alias("predicted_lang")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textops.fingerprint_expr(F.col("text")).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------- dedup
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents")).orderBy("text_hash")
+
+
+def q_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-shingle Jaccard between consecutive doc_ids — a
+    bounded, oracle-checkable slice of the n-gram dedup operator."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", textops.word_shingles_expr(F.col("text"), 3).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return joined.select(
+        F.col("a.doc_id").alias("a"),
+        F.col("b.doc_id").alias("b"),
+        F.round(inter / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only check: the banding join is
+    set-semantics SQL-expressible but impractical as a single oracle)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(d, threshold=0.5).orderBy("a", "b")
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (rows-only)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", dedup.simhash_expr(F.col("text")).alias("simhash")
+    )
+
+
+# ------------------------------------------------------------ similarity
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0 (TakeOrderedAndProject —
+    per-partition heaps, no global sort)."""
+    q = _query_vec(spark, sf_dir)
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), q, k=10
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-10 (rows-only: recall<1 by
+    construction, checked against brute force in pytest instead)."""
+    q = _query_vec(spark, sf_dir)
+    return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), q, k=10)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs inside LSH buckets (rows-only)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return similarity.near_dup_pairs(e, threshold=0.9, dim=64).orderBy("a", "b")

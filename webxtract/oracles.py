@@ -1,0 +1,310 @@
+"""DuckDB oracle SQL for the driver-contract queries (webxtract.contract).
+
+Every oracle is hand-derived ANSI SQL over the pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings) that reproduces the Spark query bit-for-bit: same column
+names, same rounding, same engine-neutral polynomial hashes.
+Non-SQL-expressible ops (LSH banding joins, simhash bit sums, ANN) are
+deliberately absent -> the driver records rows-only checks for them.
+"""
+
+RUN_DATE = "2026-01-15"
+
+_POLY_HASH = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({s}, ''),"
+    " c -> ord(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % 2147483647)"
+)
+
+_TOKENS = "regexp_split_to_array(trim({t}), '\\s+')"
+
+ORACLES: dict[str, str] = {}
+
+# ------------------------------------------------------------ relational
+
+ORACLES["tpch_q1_agg"] = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["broadcast_revenue_by_nation"] = """
+SELECT
+  n_name,
+  round(sum(o_totalprice), 2) AS revenue,
+  count(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLES["window_top3_orders"] = """
+SELECT o_custkey, o_orderkey, totalprice, rn FROM (
+  SELECT
+    o_custkey,
+    o_orderkey,
+    round(o_totalprice, 2) AS totalprice,
+    row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+ORACLES["sessionize_events"] = """
+WITH gaps AS (
+  SELECT
+    user_id,
+    event_id,
+    ts,
+    CASE WHEN
+      CAST(floor(epoch(ts)) AS BIGINT)
+        - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+      OR CAST(floor(epoch(ts)) AS BIGINT)
+        - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+    THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT
+    user_id,
+    event_id,
+    CAST(sum(brk) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+# ------------------------------------------------------------ extraction
+
+ORACLES["extract_html_roundtrip"] = """
+SELECT doc_id, text AS extracted_text FROM documents
+"""
+
+ORACLES["extract_pdf_roundtrip"] = """
+SELECT doc_id, text AS extracted_text, 1 AS n_pages FROM documents
+"""
+
+ORACLES["page_concat_e5"] = """
+SELECT doc_id, text || chr(10) || chr(10) || upper(lang) AS joined
+FROM documents
+"""
+
+ORACLES["field_extraction_e6"] = """
+SELECT
+  c_custkey,
+  c_name AS first_name,
+  'seg ' || c_mktsegment AS address,
+  CAST(c_custkey AS VARCHAR) AS document_number
+FROM customer
+"""
+
+# ------------------------------------------------- detection / fake / valid
+
+ORACLES["doc_type_cascade"] = """
+SELECT
+  doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'ontario_drivers_license'
+    WHEN 1 THEN 'canadian_passport'
+    WHEN 2 THEN 'japan_passport'
+    WHEN 3 THEN 'ontario_health_card'
+    WHEN 4 THEN 'canada_pr_card'
+    ELSE 'saskatchewan_drivers_license'
+  END AS document_type,
+  CASE doc_id % 6
+    WHEN 0 THEN 0.85 WHEN 1 THEN 0.9 WHEN 2 THEN 0.85
+    WHEN 3 THEN 0.9 WHEN 4 THEN 0.9 ELSE 0.7
+  END AS confidence,
+  CASE doc_id % 6
+    WHEN 2 THEN 'Japan' ELSE 'Canada'
+  END AS country,
+  CASE doc_id % 6
+    WHEN 0 THEN 'Ontario' WHEN 3 THEN 'Ontario'
+    WHEN 5 THEN 'Saskatchewan' ELSE NULL
+  END AS state_province
+FROM documents
+"""
+
+ORACLES["fake_detection"] = """
+SELECT
+  doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN TRUE WHEN 1 THEN TRUE WHEN 2 THEN TRUE ELSE FALSE
+  END AS is_fake,
+  CASE doc_id % 4
+    WHEN 0 THEN 0.5    -- John Doe exact pair (+1.0)
+    WHEN 1 THEN 1.0    -- known specimen + pattern + sequential (2.7)
+    WHEN 2 THEN 0.4    -- '123 main' address (+0.8)
+    ELSE 0.0
+  END AS confidence
+FROM documents
+"""
+
+ORACLES["validator_expiry"] = f"""
+SELECT
+  doc_id,
+  CASE
+    WHEN (doc_id % 100) - 50 < 0 THEN 'failed'
+    WHEN (doc_id % 100) - 50 < 30 THEN 'warning'
+    ELSE 'passed'
+  END AS status
+FROM documents
+"""
+
+ORACLES["luhn_checksum"] = """
+WITH nums AS (
+  SELECT doc_id,
+         lpad(CAST(doc_id * 37 % 1000000000 AS VARCHAR), 10, '7') AS number
+  FROM documents
+)
+SELECT
+  doc_id,
+  number,
+  (list_sum(
+     list_transform(range(1, 11), i ->
+       CASE WHEN (10 - i) % 2 = 1 THEN
+         CASE WHEN CAST(number[i] AS BIGINT) * 2 > 9
+              THEN CAST(number[i] AS BIGINT) * 2 - 9
+              ELSE CAST(number[i] AS BIGINT) * 2 END
+       ELSE CAST(number[i] AS BIGINT) END)
+   ) % 10 = 0) AS luhn_valid
+FROM nums
+"""
+
+ORACLES["validation_battery"] = """
+SELECT
+  doc_id,
+  CASE
+    WHEN (doc_id % 100) - 50 < 0 THEN 'failed'
+    WHEN (doc_id % 100) - 50 < 30 THEN 'warning'
+    ELSE 'passed'
+  END AS overall_status,
+  CASE
+    WHEN (doc_id % 100) - 50 < 0 THEN 0.0
+    WHEN (doc_id % 100) - 50 < 30 THEN 0.5
+    ELSE 1.0
+  END AS validation_score,
+  4 AS skipped_checks
+FROM documents
+"""
+
+# ------------------------------------------------------------- text ops
+
+ORACLES["quality_signals"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS.format(t='text')} AS toks FROM documents
+)
+SELECT
+  doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
+  round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+  round(list_sum(list_transform(toks, x -> length(x)))
+        / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len
+FROM t
+"""
+
+_LANG_SCORE = (
+    "len(list_intersect(list_distinct({toks}), {words}))"
+)
+
+def _lang_sql() -> str:
+    from webxtract.textops import LANG_ORDER, LANG_STOPWORDS
+
+    toks = _TOKENS.format(t="lower(text)")
+    scores = {
+        lang: _LANG_SCORE.format(
+            toks=toks,
+            words="[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]",
+        )
+        for lang in LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+SELECT doc_id,
+  CASE WHEN {best} > 0 THEN (CASE {whens} END) ELSE 'unknown' END
+  AS predicted_lang
+FROM documents
+"""
+
+ORACLES["lang_id"] = _lang_sql()
+
+ORACLES["fingerprint"] = f"""
+SELECT doc_id, {_POLY_HASH.format(s='text')} AS fingerprint
+FROM documents
+"""
+
+# --------------------------------------------------------------- dedup
+
+ORACLES["exact_dedup"] = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+"""
+
+ORACLES["ngram_jaccard_consecutive"] = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+      i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+           regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+           regexp_split_to_array(trim(text), '\\s+')[i+2]
+    )) AS sh
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+)
+SELECT
+  a.doc_id AS a,
+  b.doc_id AS b,
+  round(len(list_intersect(a.sh, b.sh)) /
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+        6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+"""
+
+# ------------------------------------------------------------ similarity
+
+ORACLES["cosine_topk"] = """
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT
+    e.vec_id,
+    round(
+      list_sum(list_transform(range(1, 65),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))),
+      6) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""

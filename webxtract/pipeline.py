@@ -1,0 +1,82 @@
+"""End-to-end pipeline composition (the columnar form of the reference's
+flagship request lifecycle, POST /ocr/extract/image?validate=true —
+SURVEY.md §3.3):
+
+    extract (UDF legs) -> fields (exprs) -> doc type (exprs)
+    -> fake scoring (exprs) -> validator battery (exprs)
+    -> summary + integrity + success (exprs)
+
+Everything after the extraction UDFs fuses into one whole-stage-codegen
+projection; the full-pipeline plan has zero wide dependencies
+(SURVEY.md §4.4). Partitioning/salting + audit live in webxtract.audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webxtract.config import DEFAULT_MINIMUM_AGE, DEFAULT_RUN_DATE
+from webxtract.ops.detect_type import doc_type_expr
+from webxtract.ops.extract import extract_pages
+from webxtract.ops.fake import fake_result_expr
+from webxtract.ops.fields import missing_fields_expr, with_fields
+from webxtract.ops.validators import (
+    doc_type_enum_expr,
+    validation_results_expr,
+    validation_summary_expr,
+    with_parsed_dates,
+)
+
+
+def run_pipeline(
+    pages: DataFrame,
+    run_date: str = DEFAULT_RUN_DATE,
+    minimum_age: int = DEFAULT_MINIMUM_AGE,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> full validation rows."""
+    run = F.to_date(F.lit(run_date))
+
+    extracted = extract_pages(pages)
+    with_f = with_fields(extracted)
+
+    missing = missing_fields_expr()
+    step1 = with_f.select(
+        "*",
+        missing.alias("missing_fields"),
+        (F.size(missing) == 0).alias("fields_valid"),
+        doc_type_expr().alias("doc_type"),
+        fake_result_expr(raw_text=F.col("extracted_text")).alias("fake_detection"),
+    )
+
+    # Integrity (ocr.py:296-312 minus the external Claude stage X2):
+    # integrity_score = max(0, 1 - fake_confidence); valid = not fake.
+    step2 = step1.select(
+        "*",
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("fake_detection.confidence")
+        ).alias("integrity_score"),
+        (~F.col("fake_detection.is_fake")).alias("integrity_valid"),
+        doc_type_enum_expr(F.col("doc_type.document_type")).alias("doc_type_enum"),
+    )
+
+    results = validation_results_expr(F.col("doc_type_enum"), run, minimum_age)
+    step3 = (
+        with_parsed_dates(step2)
+        .select("*", results.alias("validation_results"))
+        .drop("__dob_d", "__issue_d", "__exp_d")
+    )
+    step4 = step3.select(
+        "*", validation_summary_expr(F.col("validation_results")).alias("validation_summary")
+    )
+
+    # Overall success (ocr.py:331-333): extraction ok AND summary not
+    # FAILED AND integrity ok.
+    return step4.select(
+        "*",
+        (
+            ~F.col("parse_failure")
+            & (F.col("validation_summary.overall_status") != F.lit("failed"))
+            & F.col("integrity_valid")
+        ).alias("success"),
+    )

@@ -57,9 +57,16 @@ _LAST_NAMES = [
     "SINGH", "MULLER",
 ]
 _STREETS = [
-    "742 Evergreen Terrace", "221B Baker Street", "1060 West Addison",
+    # street names must not embed province-abbrev triggers like "on,"
+    # or "ont" (document_type_detector.py:52-67) — "Addison," would
+    # (correctly, per the reference cascade) flip a US doc to Ontario
+    "742 Evergreen Terrace", "221B Baker Street", "1060 Crestwood Drive",
     "35 Maple Grove Ave", "900 Lakeshore Blvd",
 ]
+
+# US-state templates must avoid surnames ending in "-ON": in
+# "LASTNAME, FIRST" form they produce the "on," Ontario trigger.
+_US_SAFE_LAST = [n for n in _LAST_NAMES if not n.lower().endswith("on")]
 
 
 def luhn_check_digit(digits: str) -> int:
@@ -309,12 +316,46 @@ _FIELD_LABELS = [
 _EMPTY_FIELDS: dict[str, str | None] = {k: None for k, _ in _FIELD_LABELS}
 
 
+def _doc_number_fake_score(number: str) -> float:
+    """Pure-python replica of fake-check F3 (fake_document_detector.py:
+    267-314), used so non-fake synthetic docs never carry a number that
+    the detector would (correctly) flag."""
+    import re as _re
+
+    clean = _re.sub(r"[\s\-]", "", number.upper().strip())
+    if not clean:
+        return 0.0
+    score = 0.0
+    from webxtract.rules import FAKE_DOC_NUMBER_PATTERNS, KNOWN_SPECIMEN_DOC_NUMBERS
+
+    if clean in KNOWN_SPECIMEN_DOC_NUMBERS:
+        score += 1.0
+    if any(_re.match(p, clean, _re.IGNORECASE) for p in FAKE_DOC_NUMBER_PATTERNS):
+        score += 0.8
+    if clean.isdigit() and len(clean) >= 5:
+        inc = sum(1 for i in range(1, len(clean)) if int(clean[i]) == int(clean[i - 1]) + 1)
+        dec = sum(1 for i in range(1, len(clean)) if int(clean[i]) == int(clean[i - 1]) - 1)
+        ratio = max(inc, dec) / (len(clean) - 1)
+        if ratio >= 0.5:
+            score += 0.5
+    return score
+
+
 def _make_id_doc(rnd: random.Random, run_date: dt.date) -> tuple[list[str], dict]:
     """Build the labeled main-content blocks for one ID-document page and
     the planted field dict (the golden for the field parser)."""
     tpl = rnd.choice(TEMPLATES)
+    last_pool = (
+        _US_SAFE_LAST
+        if tpl.expected_type in ("california_drivers_license", "texas_drivers_license")
+        else _LAST_NAMES
+    )
     first = tpl.extra.get("first_name", rnd.choice(_FIRST_NAMES))
-    last = tpl.extra.get("last_name", rnd.choice(_LAST_NAMES))
+    last = tpl.extra.get("last_name", rnd.choice(last_pool))
+    if not tpl.extra.get("fake") and (first.lower(), last.lower()) in {
+        ("john", "smith"), ("jane", "smith"), ("john", "doe"), ("jane", "doe")
+    }:
+        last = "WILLIAMS"  # don't let clean docs carry known fake name pairs
     gender = rnd.choice(["M", "F"])
     # ages 14..80 so age-tier validators see a mix of pass/warn/fail
     age_days = rnd.randint(14 * 365, 80 * 365)
@@ -327,6 +368,11 @@ def _make_id_doc(rnd: random.Random, run_date: dt.date) -> tuple[list[str], dict
         expiry = run_date + dt.timedelta(days=rnd.randint(20, 6 * 365))
 
     number = tpl.make_number(rnd, last, dob, gender)
+    if not tpl.extra.get("fake"):
+        for _ in range(50):  # keep clean docs clean of F3 triggers
+            if _doc_number_fake_score(number) == 0.0:
+                break
+            number = tpl.make_number(rnd, last, dob, gender)
 
     fields = dict(_EMPTY_FIELDS)
     fields.update(

@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (JVM-side, codegen'd) so they run
+at scan speed on a 100 TB corpus — no Python anywhere. Each has an exact
+DuckDB-SQL twin in webxtract.contract for the driver's oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword-overlap
+# language-ID heuristic. Deterministic and oracle-checkable; not a
+# real langid model.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "are"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "eine", "für", "nicht"],
+    "zh": ["的", "是", "了", "在", "和", "有", "不", "我", "他", "这"],
+}
+
+# Fixed tie-break order (first wins on equal scores).
+LANG_ORDER = ["en", "fr", "es", "de", "zh"]
+
+FINGERPRINT_BASE = 31
+FINGERPRINT_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def distinct_token_count_expr(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens_expr(text)))
+
+
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals: char/token counts, type-token
+    ratio, punctuation & digit ratios, mean token length — the
+    length/punct/stopword heuristics of C4/Gopher-style filters."""
+    toks = tokens_expr(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+        "ttr": F.round(F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6),
+        "punct_ratio": F.round(n_punct / n_chars.cast("double"), 6),
+        "digit_ratio": F.round(n_digit / n_chars.cast("double"), 6),
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / n_tokens.cast("double"),
+            6,
+        ),
+    }
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Stopword-overlap language ID: score per language = number of its
+    stopwords present as tokens; argmax with fixed tie-break order."""
+    toks = F.array_distinct(tokens_expr(F.lower(text)))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    chain = None
+    for lang in LANG_ORDER:
+        cond = scores[lang] == best
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return F.when(best > 0, chain).otherwise(F.lit("unknown"))
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Polynomial rolling hash over code points, h = (h*31 + cp) mod
+    (2^31-1) — a deterministic document fingerprint computable
+    identically in Spark and DuckDB (no engine-specific hash)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_MOD,
+    )
+
+
+def word_shingles_expr(text: Column, k: int = 2) -> Column:
+    """Distinct k-word shingles (space-joined)."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
