@@ -39,9 +39,10 @@ def run_at(cores: int, corpus: str) -> dict:
         F.sum(F.coalesce(F.length("html"), F.length("text"), F.lit(0)))
     ).collect()[0][0]
 
-    # warm-up: force plan compilation + parquet footer caches once so the
-    # timed run measures execution, not one-time JVM/codegen cost
-    extract_pages(pages.limit(64)).write.format("noop").mode("overwrite").save()
+    # warm-up: one full pass so codegen, parquet footers and the lazy
+    # Python worker pool are all hot — the timed pass measures the
+    # steady state a long-running crawl job actually operates in
+    extract_pages(pages).write.format("noop").mode("overwrite").save()
 
     t0 = time.perf_counter()
     extract_pages(pages).write.format("noop").mode("overwrite").save()
@@ -58,7 +59,7 @@ def run_at(cores: int, corpus: str) -> dict:
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
     cache = os.path.join(REPO, ".bench_cache", f"pages_{n_rows}")

@@ -136,32 +136,33 @@ def minhash_lsh_pairs(
         minhash_expr(F.col(text_col), shingle_k).alias("mh"),
     ).withColumn("bands", band_hashes_expr(F.col("mh")))
 
+    # candidate generation carries ONLY (id, band, band_hash) through the
+    # bucket shuffle — the shingle payloads are joined back after the
+    # (a, b) pair set is deduplicated, so the wide arrays cross the wire
+    # once per doc, not once per candidate pair.
     buckets = sigs.select(
-        "id",
-        "shingles",
-        F.posexplode("bands").alias("band", "band_hash"),
+        "id", F.posexplode("bands").alias("band", "band_hash")
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
     cand = (
-        left.join(
-            right,
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.shingles").alias("sa"),
-            F.col("r.shingles").alias("sb"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    sh = sigs.select("id", "shingles")
+    joined = (
+        cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("shingles", "sa"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("shingles", "sb"), "b")
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     return (
-        cand.select(
+        joined.select(
             "a",
             "b",
             F.round(inter / union.cast("double"), 6).alias("jaccard"),

@@ -55,11 +55,19 @@ def fake_result_expr(prefix: str = "", raw_text: Column | None = None) -> Column
     scores: list[Column] = []
     reasons: list[Column] = []
 
-    # ---- F1 specimen keywords (:210-220): count ALL matches
-    matched_kw = F.filter(
-        F.array(*[F.lit(k) for k in rules.SPECIMEN_KEYWORDS]),
-        lambda k: text_lower.contains(k),
+    # ---- F1 specimen keywords (:210-220): count ALL matches. Cheap
+    # chained-contains precheck first; the per-row keyword array is only
+    # materialized for the rare rows with a hit.
+    any_kw = reduce(
+        or_, [text_lower.contains(k) for k in rules.SPECIMEN_KEYWORDS]
     )
+    matched_kw = F.when(
+        any_kw,
+        F.filter(
+            F.array(*[F.lit(k) for k in rules.SPECIMEN_KEYWORDS]),
+            lambda k: text_lower.contains(k),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     n_kw = F.size(matched_kw)
     scores.append(
         F.when(n_kw > 0, F.least(n_kw.cast("double") * 0.5, F.lit(1.0))).otherwise(0.0)
@@ -81,20 +89,19 @@ def fake_result_expr(prefix: str = "", raw_text: Column | None = None) -> Column
     last = F.lower(F.trim(F.coalesce(col("last_name"), F.lit(""))))
     full = F.lower(F.trim(F.coalesce(col("full_name"), F.lit(""))))
 
-    pair_array = F.array(
+    # first pair matching exactly OR by containment wins (loop breaks).
+    # coalesce-of-whens short-circuits left-to-right with zero per-row
+    # array construction.
+    first_pair = F.coalesce(
         *[
-            F.struct(F.lit(f).alias("f"), F.lit(l).alias("l"))
+            F.when(
+                ((first == f) & (last == l))
+                | (first.contains(f) & last.contains(l)),
+                F.struct(F.lit(f).alias("f"), F.lit(l).alias("l")),
+            )
             for f, l in rules.FAKE_NAME_PAIRS
-        ]
-    )
-    # first pair matching exactly OR by containment wins (loop breaks)
-    first_pair = F.try_element_at(
-        F.filter(
-            pair_array,
-            lambda p: ((first == p["f"]) & (last == p["l"]))
-            | (first.contains(p["f"]) & last.contains(p["l"])),
-        ),
-        F.lit(1),
+        ],
+        F.lit(None).cast("struct<f:string,l:string>"),
     )
     pair_exact = (first == first_pair["f"]) & (last == first_pair["l"])
     s_pair, r_pair = (
@@ -128,12 +135,14 @@ def fake_result_expr(prefix: str = "", raw_text: Column | None = None) -> Column
     scores.append(s_pair)
     reasons.append(r_pair)
 
-    first_single = F.try_element_at(
-        F.filter(
-            F.array(*[F.lit(s) for s in rules.FAKE_SINGLE_NAMES]),
-            lambda s: first.contains(s) | last.contains(s) | full.contains(s),
-        ),
-        F.lit(1),
+    first_single = F.coalesce(
+        *[
+            F.when(
+                first.contains(s) | last.contains(s) | full.contains(s), F.lit(s)
+            )
+            for s in rules.FAKE_SINGLE_NAMES
+        ],
+        F.lit(None).cast("string"),
     )
     s, r = _maybe(
         first_single.isNotNull(),
@@ -298,12 +307,12 @@ def fake_result_expr(prefix: str = "", raw_text: Column | None = None) -> Column
 
     # ---- F6 fake addresses (:394-410): first matching pattern only
     addr = F.lower(F.trim(F.coalesce(col("address"), F.lit(""))))
-    first_addr = F.try_element_at(
-        F.filter(
-            F.array(*[F.lit(a) for a in rules.FAKE_ADDRESS_PATTERNS]),
-            lambda a: addr.contains(a),
-        ),
-        F.lit(1),
+    first_addr = F.coalesce(
+        *[
+            F.when(addr.contains(a), F.lit(a))
+            for a in rules.FAKE_ADDRESS_PATTERNS
+        ],
+        F.lit(None).cast("string"),
     )
     s, r = _maybe(
         (addr != "") & first_addr.isNotNull(),

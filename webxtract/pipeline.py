@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webxtract.config import DEFAULT_MINIMUM_AGE, DEFAULT_RUN_DATE
-from webxtract.ops.detect_type import doc_type_expr
+from webxtract.ops.detect_type import _TMP as _DT_TMP
+from webxtract.ops.detect_type import doc_type_expr, with_detection_inputs
 from webxtract.ops.extract import extract_pages
 from webxtract.ops.fake import fake_result_expr
 from webxtract.ops.fields import missing_fields_expr, with_fields
@@ -33,20 +34,37 @@ def run_pipeline(
     pages: DataFrame,
     run_date: str = DEFAULT_RUN_DATE,
     minimum_age: int = DEFAULT_MINIMUM_AGE,
+    bucket_by_url: bool = True,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> full validation rows."""
+    """pages(url, warc_ts, html, text, lang) -> full validation rows.
+
+    ``bucket_by_url`` inserts the salted url-hash repartition between
+    detection and validation. It serves three purposes at once: (a) the
+    output is bucketed for the resume anti-join and downstream joins,
+    (b) byte-skew from hot hosts is spread (SURVEY.md §4.3.1), and (c)
+    the exchange is an optimizer barrier that guarantees the detection
+    struct is materialized exactly once instead of being re-expanded
+    inside the validator dispatch (measured 3-4x stage speedup). With
+    it off the plan is fully narrow (zero shuffles).
+    """
     run = F.to_date(F.lit(run_date))
 
     extracted = extract_pages(pages)
     with_f = with_fields(extracted)
 
     missing = missing_fields_expr()
-    step1 = with_f.select(
-        "*",
-        missing.alias("missing_fields"),
-        (F.size(missing) == 0).alias("fields_valid"),
-        doc_type_expr().alias("doc_type"),
-        fake_result_expr(raw_text=F.col("extracted_text")).alias("fake_detection"),
+    step1 = (
+        with_detection_inputs(with_f)
+        .select(
+            "*",
+            missing.alias("missing_fields"),
+            (F.size(missing) == 0).alias("fields_valid"),
+            doc_type_expr().alias("doc_type"),
+            fake_result_expr(raw_text=F.col("extracted_text")).alias(
+                "fake_detection"
+            ),
+        )
+        .drop(*_DT_TMP)
     )
 
     # Integrity (ocr.py:296-312 minus the external Claude stage X2):
@@ -59,6 +77,14 @@ def run_pipeline(
         (~F.col("fake_detection.is_fake")).alias("integrity_valid"),
         doc_type_enum_expr(F.col("doc_type.document_type")).alias("doc_type_enum"),
     )
+
+    if bucket_by_url:
+        from webxtract.audit import partition_by_url
+
+        n_part = int(
+            pages.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        step2 = partition_by_url(step2, n_part)
 
     results = validation_results_expr(F.col("doc_type_enum"), run, minimum_age)
     step3 = (

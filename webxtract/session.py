@@ -56,7 +56,10 @@ def get_spark(
             if shuffle_partitions is not None
             else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         ),
-        "spark.driver.memory": os.environ.get("WEBXTRACT_DRIVER_MEM", "8g"),
+        # local mode: driver heap hosts all executor threads, each of
+        # which deserializes its own copy of the (large) task binary —
+        # size generously on the 128 GiB sandbox
+        "spark.driver.memory": os.environ.get("WEBXTRACT_DRIVER_MEM", "32g"),
     }
     if extra_conf:
         conf.update(extra_conf)

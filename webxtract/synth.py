@@ -543,17 +543,34 @@ def gen_pages(n_rows: int, run_date: dt.date | str, seed: int = SEED) -> tuple[p
     return pages, expected
 
 
-def to_parquet(df: pd.DataFrame, path: str) -> None:
-    """Write a frame with Spark-compatible (microsecond) timestamps."""
-    df.to_parquet(path, index=False, coerce_timestamps="us",
+def to_parquet(df: pd.DataFrame, path: str, chunk_rows: int | None = None) -> None:
+    """Write a frame with Spark-compatible (microsecond) timestamps.
+
+    With ``chunk_rows`` set, writes a DIRECTORY of part files so Spark
+    gets real input splits — a single pandas-written file has one giant
+    row group and caps scan parallelism at ~1 task (a crawl corpus is
+    thousands of files; tests/bench must simulate that)."""
+    kwargs = dict(index=False, coerce_timestamps="us",
                   allow_truncated_timestamps=True)
+    if chunk_rows is None:
+        df.to_parquet(path, **kwargs)
+        return
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for i, start in enumerate(range(0, len(df), chunk_rows)):
+        df.iloc[start:start + chunk_rows].to_parquet(
+            os.path.join(path, f"part-{i:05d}.parquet"), **kwargs
+        )
 
 
 def write_corpus(out_dir: str, n_rows: int, run_date: str, seed: int = SEED) -> None:
-    """Write pages.parquet + expected.parquet under ``out_dir``."""
+    """Write pages.parquet (chunked dir) + expected.parquet under
+    ``out_dir``."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     pages, expected = gen_pages(n_rows, run_date, seed)
-    to_parquet(pages, os.path.join(out_dir, "pages.parquet"))
+    chunk = max(256, n_rows // 128)  # ~128 part files at any scale
+    to_parquet(pages, os.path.join(out_dir, "pages.parquet"), chunk_rows=chunk)
     to_parquet(expected, os.path.join(out_dir, "expected.parquet"))
