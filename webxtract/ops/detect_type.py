@@ -1,23 +1,23 @@
-"""Document-type detection (operators D1-D8, SURVEY.md §2.3) as one
-generated Catalyst ``when``-chain — the columnar form of the reference's
-three-step first-match-wins cascade (document_type_detector.py:237-554):
+"""Document-type detection (operators D1-D8, SURVEY.md §2.3) — the
+columnar form of the reference's three-step first-match-wins cascade
+(document_type_detector.py:237-554):
 
   STEP 1 keyword + province/state/country rules (conf 0.75-0.9)
   STEP 2 document-number format fallback      (conf 0.7)
   STEP 3 pattern-match scoring fallback       (argmax, <0.3 -> UNKNOWN)
 
-Everything is constant-foldable expression logic over the 13 field
-columns; Catalyst fuses it with the rest of the projection (no joins,
-no shuffles, no Python). detected_features strings are reproduced for
+Plan-size discipline (round-1 lesson): every rule table (province maps,
+DL-type maps, the D6 format cascade, the D7 29-pattern scoring table)
+is a constant-folded *literal array of structs* scanned with
+filter/transform/aggregate higher-order functions — ONE copy of each
+matching/scoring expression in the plan instead of one inlined
+when-branch per rule row. detected_features strings are reproduced for
 the step-1/2 branches; step-3's per-keyword feature strings are
 simplified to a single marker (documented divergence — the scores and
-chosen types are exact).
+chosen types are exact). No joins, no shuffles, no Python.
 """
 
 from __future__ import annotations
-
-from functools import reduce
-from operator import or_
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -26,8 +26,14 @@ from webxtract import rules
 from webxtract.schemas import FIELD_NAMES
 
 
+def _lit_s(v) -> Column:  # noqa: ANN001
+    return F.lit(v) if v is not None else F.lit(None).cast("string")
+
+
 def _contains_any(text: Column, keywords: list[str]) -> Column:
-    return reduce(or_, [text.contains(F.lit(k)) for k in keywords])
+    return F.exists(
+        F.array(*[F.lit(k) for k in keywords]), lambda k: F.contains(text, k)
+    )
 
 
 def _lower(col: Column) -> Column:
@@ -65,19 +71,23 @@ def _type_struct(
     )
 
 
+def _kv_array(mapping: dict[str, str]) -> Column:
+    return F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(v).alias("v"))
+            for k, v in mapping.items()
+        ]
+    )
+
+
 def _first_match(text: Column, mapping: dict[str, str]) -> Column:
     """Ordered substring-scan lookup: first key contained in ``text`` wins
-    (detector :556-581). Returns the mapped value or NULL."""
-    expr = F.lit(None).cast("string")
-    chain = None
-    for key, value in mapping.items():
-        cond = text.contains(F.lit(key))
-        chain = (
-            F.when(cond, F.lit(value))
-            if chain is None
-            else chain.when(cond, F.lit(value))
-        )
-    return chain.otherwise(expr) if chain is not None else expr
+    (detector :556-581). Returns the mapped value or NULL. The table is a
+    constant-folded literal array; filter preserves insertion order."""
+    hit = F.try_element_at(
+        F.filter(_kv_array(mapping), lambda e: F.contains(text, e["k"])), F.lit(1)
+    )
+    return hit["v"]
 
 
 # Precomputed detection-input columns. Detection references the
@@ -86,8 +96,18 @@ def _first_match(text: Column, mapping: dict[str, str]) -> Column:
 # linear and lets codegen/CSE work (a 20x stage speedup at bench).
 _TMP = [
     "__dt_ft", "__dt_numu", "__dt_numc", "__dt_title",
-    "__dt_prov", "__dt_state", "__dt_cc",
+    "__dt_prov", "__dt_state", "__dt_cc", "__dt_cname",
 ]
+
+
+def _country_name_expr(country_code: Column) -> Column:
+    """ISO alpha-3 -> country name via a literal map (D8,
+    document_types.py:323-377)."""
+    pairs: list[Column] = []
+    for code, name in rules.COUNTRY_CODES.items():
+        pairs.append(F.lit(code))
+        pairs.append(F.lit(name))
+    return F.create_map(*pairs)[country_code]
 
 
 def with_detection_inputs(df: DataFrame, prefix: str = "") -> DataFrame:
@@ -105,6 +125,7 @@ def with_detection_inputs(df: DataFrame, prefix: str = "") -> DataFrame:
         )
     )
     document_number = F.coalesce(col("document_number"), F.lit(""))
+    cc = F.upper(F.coalesce(col("country_code"), F.lit("")))
     df = (
         df.withColumn("__dt_ft", full_text_lower)
         .withColumn("__dt_numu", F.upper(F.trim(document_number)))
@@ -113,7 +134,8 @@ def with_detection_inputs(df: DataFrame, prefix: str = "") -> DataFrame:
             F.regexp_replace(F.upper(F.trim(document_number)), r"[\s\-]", ""),
         )
         .withColumn("__dt_title", _lower(col("document_title")))
-        .withColumn("__dt_cc", F.upper(F.coalesce(col("country_code"), F.lit(""))))
+        .withColumn("__dt_cc", cc)
+        .withColumn("__dt_cname", _country_name_expr(cc))
     )
     # D3 province / US-state detection (detector :556-581): full names
     # first, then abbreviations; "québec" normalizes to "quebec".
@@ -136,6 +158,129 @@ def with_detection_inputs(df: DataFrame, prefix: str = "") -> DataFrame:
     )
 
 
+# ------------------------------------------------------- literal rule tables
+
+
+def _dl_types_array() -> Column:
+    """(prov, dtype, state, name) rows for the Canadian DL branch."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(prov).alias("prov"),
+                F.lit(dtype).alias("dtype"),
+                F.lit(state).alias("state"),
+                F.lit(name).alias("dname"),
+            )
+            for prov, (dtype, state, name) in rules.DL_TYPES.items()
+        ]
+    )
+
+
+def _photo_types_array() -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(prov).alias("prov"),
+                F.lit(dtype).alias("dtype"),
+                F.lit(state).alias("state"),
+                F.lit(name).alias("dname"),
+            )
+            for prov, (dtype, state, name) in rules.PHOTO_ID_TYPES.items()
+        ]
+    )
+
+
+def _us_dl_array() -> Column:
+    """US DL rows: the two specific state types at conf 0.85
+    (detector :383-404), then the generic us_drivers_license per mapped
+    state at conf 0.8 (:405-417). Distinct keys, so first-match over the
+    merged array equals the reference's if/elif order."""
+    rows = []
+    for state_key, (dtype, state, name) in rules.US_DL_TYPES.items():
+        rows.append((state_key, dtype, state, name, 0.85))
+    for state_key, state_name in rules.US_STATE_MAPPING.items():
+        if state_key in rules.US_DL_TYPES:
+            continue
+        rows.append(
+            (state_key, "us_drivers_license", state_name,
+             f"{state_name} Driver's License", 0.8)
+        )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("skey"),
+                F.lit(d).alias("dtype"),
+                F.lit(s).alias("state"),
+                F.lit(n).alias("dname"),
+                F.lit(c).alias("conf"),
+            )
+            for k, d, s, n, c in rows
+        ]
+    )
+
+
+def _specific_passport_array() -> Column:
+    """cc-bearing DOCUMENT_PATTERNS rows (detector :431-448), in order."""
+    rows = [
+        (cc, dtype, country, name)
+        for dtype, name, country, cc, _state, _fmt, _kws in rules.DOCUMENT_PATTERNS
+        if cc
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cc).alias("cc"),
+                F.lit(dtype).alias("dtype"),
+                _lit_s(country).alias("country"),
+                F.lit(name).alias("dname"),
+            )
+            for cc, dtype, country, name in rows
+        ]
+    )
+
+
+def _doc_number_formats_array() -> Column:
+    """D6 ordered format table (detector :480-494)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(dtype).alias("dtype"),
+                F.lit(pattern).alias("pattern"),
+                _lit_s(country).alias("country"),
+                _lit_s(state).alias("state"),
+                F.lit(name).alias("dname"),
+            )
+            for dtype, pattern, country, state, name in rules.DOC_NUMBER_FORMATS
+        ]
+    )
+
+
+_ONTARIO_ADDR_INDICATORS = [
+    "ontario", " on ", ", on", "on,", "toronto", "ottawa", "mississauga",
+]
+
+
+def _score_patterns_array() -> Column:
+    """D7 scoring table (document_types.py:65-319) with per-row scoring
+    flags precomputed Python-side (is a passport type / has the Ontario
+    address bonus)."""
+    rows = []
+    for dtype, name, country, cc, state, fmt, keywords in rules.DOCUMENT_PATTERNS:
+        rows.append(
+            F.struct(
+                F.lit(dtype).alias("dtype"),
+                F.lit(name).alias("dname"),
+                _lit_s(country).alias("country"),
+                _lit_s(cc if (cc and "passport" in name.lower()) else None).alias("cc"),
+                _lit_s(state).alias("state"),
+                _lit_s(fmt).alias("fmt"),
+                F.array(*[F.lit(k.lower()) for k in keywords]).alias("keywords"),
+                F.lit(dtype == "ontario_drivers_license").alias("ontario_bonus"),
+            )
+        )
+    return F.array(*rows)
+
+
 def doc_type_expr(prefix: str = "") -> Column:
     """Build the DocumentTypeInfo struct. Requires the precomputed
     detection-input columns (apply with_detection_inputs first, or use
@@ -150,6 +295,7 @@ def doc_type_expr(prefix: str = "") -> Column:
     doc_number_upper = F.col("__dt_numu")
     detected_province = F.col("__dt_prov")
     detected_us_state = F.col("__dt_state")
+    country_name = F.col("__dt_cname")
 
     # D2 keyword flags (detector :267-281)
     has_passport_kw = _contains_any(full_text_lower, rules.PASSPORT_KEYWORDS)
@@ -185,12 +331,6 @@ def doc_type_expr(prefix: str = "") -> Column:
         | detected_province.isNotNull()
         | has_gov_canada
     )
-    is_usa = (
-        full_text_lower.contains("united states")
-        | full_text_lower.contains("usa")
-        | (country_code == "USA")
-        | detected_us_state.isNotNull()
-    )
 
     # ---------------------------------------------------------------- D5
     # STEP 1 cascade, exact branch order (detector :314-473).
@@ -203,28 +343,34 @@ def doc_type_expr(prefix: str = "") -> Column:
         ),
     )
 
-    # 1b photo card / photo id
+    # 1b photo card / photo id (per-province rows, generic fallback)
     photo_cond = (has_photo_kw | is_photo_by_title) & ~has_passport_kw & ~has_dl_kw
-    photo_struct = None
-    for prov, (dtype, state, name) in rules.PHOTO_ID_TYPES.items():
-        branch = _type_struct(
-            dtype, 0.9, "Canada", state, name,
-            F.array(
-                F.lit("photo_id_keyword_found"), F.concat(F.lit("province: "), F.lit(prov))
-            ),
-        )
-        photo_struct = (
-            F.when(detected_province == prov, branch)
-            if photo_struct is None
-            else photo_struct.when(detected_province == prov, branch)
-        )
-    photo_struct = photo_struct.otherwise(
-        _type_struct(
-            "generic_photo_id", 0.7, None, None, "Photo ID",
-            ["photo_id_keyword_found"],
-        )
+    photo_hits = F.filter(
+        _photo_types_array(), lambda e: e["prov"] == detected_province
     )
-    chain = chain.when(photo_cond, photo_struct)
+    photo_struct = F.try_element_at(
+        F.transform(
+            photo_hits,
+            lambda e: _type_struct(
+                e["dtype"], 0.9, "Canada", e["state"], e["dname"],
+                F.array(
+                    F.lit("photo_id_keyword_found"),
+                    F.concat(F.lit("province: "), e["prov"]),
+                ),
+            ),
+        ),
+        F.lit(1),
+    )
+    chain = chain.when(
+        photo_cond,
+        F.coalesce(
+            photo_struct,
+            _type_struct(
+                "generic_photo_id", 0.7, None, None, "Photo ID",
+                ["photo_id_keyword_found"],
+            ),
+        ),
+    )
 
     # 1c health card (only the Ontario/ohip inner branch returns)
     chain = chain.when(
@@ -238,67 +384,68 @@ def doc_type_expr(prefix: str = "") -> Column:
         ),
     )
 
-    # 1d driver's licence
+    # 1d driver's licence — Canadian provinces then US states, each a
+    # first-match over a literal rule array (detector :360-417)
     dl_cond = has_dl_kw & ~has_passport_kw
-    for prov, (dtype, state, name) in rules.DL_TYPES.items():
-        chain = chain.when(
-            dl_cond & (detected_province == prov),
-            _type_struct(
-                dtype, 0.85, "Canada", state, name,
-                F.array(
-                    F.lit("dl_keyword_found"),
-                    F.concat(F.lit("province: "), F.lit(prov)),
+    ca_hits = F.filter(_dl_types_array(), lambda e: e["prov"] == detected_province)
+    chain = chain.when(
+        dl_cond & (F.size(ca_hits) > 0),
+        F.try_element_at(
+            F.transform(
+                ca_hits,
+                lambda e: _type_struct(
+                    e["dtype"], 0.85, "Canada", e["state"], e["dname"],
+                    F.array(
+                        F.lit("dl_keyword_found"),
+                        F.concat(F.lit("province: "), e["prov"]),
+                    ),
                 ),
             ),
-        )
-    for state_key, (dtype, state, name) in rules.US_DL_TYPES.items():
-        chain = chain.when(
-            dl_cond & (detected_us_state == state_key),
-            _type_struct(
-                dtype, 0.85, "United States", state, name,
-                F.array(
-                    F.lit("dl_keyword_found"),
-                    F.concat(F.lit("us_state: "), F.lit(state_key)),
+            F.lit(1),
+        ),
+    )
+    us_hits = F.filter(_us_dl_array(), lambda e: e["skey"] == detected_us_state)
+    chain = chain.when(
+        dl_cond & (F.size(us_hits) > 0),
+        F.try_element_at(
+            F.transform(
+                us_hits,
+                lambda e: _type_struct(
+                    e["dtype"], e["conf"], "United States", e["state"], e["dname"],
+                    F.array(
+                        F.lit("dl_keyword_found"),
+                        F.concat(F.lit("us_state: "), e["skey"]),
+                    ),
                 ),
             ),
-        )
-    # generic US DL for the other mapped states
-    for state_key, state_name in rules.US_STATE_MAPPING.items():
-        if state_key in rules.US_DL_TYPES:
-            continue
-        chain = chain.when(
-            dl_cond & (detected_us_state == state_key),
-            _type_struct(
-                "us_drivers_license", 0.8, "United States", state_name,
-                f"{state_name} Driver's License",
-                F.array(
-                    F.lit("dl_keyword_found"),
-                    F.concat(F.lit("us_state: "), F.lit(state_key)),
-                ),
-            ),
-        )
+            F.lit(1),
+        ),
+    )
 
     # 1e passport
     pass_cond = has_passport_kw | is_passport_by_title
     has_cc = country_code != F.lit("")
     # specific passports: first DOCUMENT_PATTERNS entry with matching
     # country_code (detector :431-448)
-    for dtype, name, country, cc, _state, _fmt, _kws in rules.DOCUMENT_PATTERNS:
-        if not cc:
-            continue
-        chain = chain.when(
-            pass_cond & has_cc & (country_code == cc),
-            _type_struct(
-                dtype, 0.9, country, None, name,
-                F.array(
-                    F.lit("passport_keyword_found"),
-                    F.concat(F.lit("country_code: "), country_code),
+    pp_hits = F.filter(_specific_passport_array(), lambda e: e["cc"] == country_code)
+    chain = chain.when(
+        pass_cond & has_cc & (F.size(pp_hits) > 0),
+        F.try_element_at(
+            F.transform(
+                pp_hits,
+                lambda e: _type_struct(
+                    e["dtype"], 0.9, e["country"], None, e["dname"],
+                    F.array(
+                        F.lit("passport_keyword_found"),
+                        F.concat(F.lit("country_code: "), country_code),
+                    ),
                 ),
             ),
-        )
+            F.lit(1),
+        ),
+    )
     # generic passport by ISO country (detector :449-461): dynamic type
     in_iso = country_code.isin(list(rules.COUNTRY_CODES))
-    country_name = _first_map_lookup(country_code)
     chain = chain.when(
         pass_cond & has_cc & in_iso,
         _type_struct(
@@ -326,76 +473,84 @@ def doc_type_expr(prefix: str = "") -> Column:
     )
 
     # ---------------------------------------------------------------- D6
-    # STEP 2: doc-number format fallback (detector :480-494), conf 0.7.
-    for dtype, pattern, country, state, name in rules.DOC_NUMBER_FORMATS:
-        chain = chain.when(
-            (clean_doc_number != "")
-            & (doc_number_upper.rlike(pattern) | clean_doc_number.rlike(pattern)),
-            _type_struct(
-                dtype, 0.7, country, state, name,
-                ["document_number_format_match", f"pattern: {pattern}"],
+    # STEP 2: doc-number format fallback (detector :480-494), conf 0.7 —
+    # ordered first-match over the literal format table.
+    fmt_hits = F.filter(
+        _doc_number_formats_array(),
+        lambda e: F.regexp_like(doc_number_upper, e["pattern"])
+        | F.regexp_like(clean_doc_number, e["pattern"]),
+    )
+    chain = chain.when(
+        (clean_doc_number != "") & (F.size(fmt_hits) > 0),
+        F.try_element_at(
+            F.transform(
+                fmt_hits,
+                lambda e: _type_struct(
+                    e["dtype"], 0.7, e["country"], e["state"], e["dname"],
+                    F.array(
+                        F.lit("document_number_format_match"),
+                        F.concat(F.lit("pattern: "), e["pattern"]),
+                    ),
+                ),
             ),
-        )
+            F.lit(1),
+        ),
+    )
 
     # ---------------------------------------------------------------- D7
-    # STEP 3: pattern-match scoring (detector :497-554, :592-649).
-    scores: list[Column] = []
-    structs: list[Column] = []
-    for dtype, name, country, cc, state, fmt, keywords in rules.DOCUMENT_PATTERNS:
-        is_passport_type = "passport" in name.lower()
-        s = F.lit(0.0)
-        if cc and is_passport_type:
-            s = s + F.when(
-                (country_code != "") & (country_code == cc), 0.5
-            ).otherwise(0.0)
-        if fmt:
-            s = s + F.when(
-                (doc_number_upper != "") & doc_number_upper.rlike(fmt), 0.4
-            ).otherwise(0.0)
+    # STEP 3: pattern-match scoring (detector :497-554, :592-649) as one
+    # transform over the literal 29-row table + a first-strict-max
+    # aggregate (the reference uses `>` so earlier entries win ties).
+    ont_inds = F.array(*[F.lit(i) for i in _ONTARIO_ADDR_INDICATORS])
+    addr_lower = F.lower(address)
+
+    def _score(p: Column) -> Column:
+        s = F.when(
+            p["cc"].isNotNull() & (country_code != "") & (country_code == p["cc"]),
+            0.5,
+        ).otherwise(0.0)
+        s = s + F.when(
+            p["fmt"].isNotNull()
+            & (doc_number_upper != "")
+            & F.regexp_like(doc_number_upper, p["fmt"]),
+            0.4,
+        ).otherwise(0.0)
         kw_hits = F.size(
-            F.filter(
-                F.array(*[F.lit(k.lower()) for k in keywords]),
-                lambda k: full_text_lower.contains(k),
-            )
+            F.filter(p["keywords"], lambda k: F.contains(full_text_lower, k))
         )
         s = s + F.when(
             kw_hits > 0, F.least(kw_hits.cast("double") * 0.15, F.lit(0.45))
         ).otherwise(0.0)
-        if dtype == "ontario_drivers_license":
-            ontario_ind = [
-                "ontario", " on ", ", on", "on,", "toronto", "ottawa", "mississauga",
-            ]
-            addr_lower = F.lower(address)
-            s = s + F.when(
-                reduce(
-                    or_,
-                    [
-                        addr_lower.contains(F.lit(i)) | full_text_lower.contains(F.lit(i))
-                        for i in ontario_ind
-                    ],
-                ),
-                0.15,
-            ).otherwise(0.0)
-        scores.append(s)
-        structs.append(
-            _type_struct(
-                dtype,
-                s,
-                country,
-                state,
-                name,
-                ["pattern_score_match"],
-            )
-        )
+        s = s + F.when(
+            p["ontario_bonus"]
+            & F.exists(
+                ont_inds,
+                lambda i: F.contains(addr_lower, i) | F.contains(full_text_lower, i),
+            ),
+            0.15,
+        ).otherwise(0.0)
+        return s
 
-    best_score = F.greatest(*scores)
-    # first strict maximum wins (reference uses `>` so earlier entries win ties)
-    score_chain = None
-    for s, st in zip(scores, structs, strict=True):
-        cond = s == best_score
-        score_chain = (
-            F.when(cond, st) if score_chain is None else score_chain.when(cond, st)
-        )
+    scored = F.transform(
+        _score_patterns_array(),
+        lambda p: F.struct(
+            _score(p).alias("score"),
+            p["dtype"].alias("dtype"),
+            p["dname"].alias("dname"),
+            p["country"].alias("country"),
+            p["state"].alias("state"),
+        ),
+    )
+    zero = F.struct(
+        F.lit(-1.0).alias("score"),
+        F.lit(None).cast("string").alias("dtype"),
+        F.lit(None).cast("string").alias("dname"),
+        F.lit(None).cast("string").alias("country"),
+        F.lit(None).cast("string").alias("state"),
+    )
+    best = F.aggregate(
+        scored, zero, lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc)
+    )
 
     # last resort (detector :524-538): passport kw + ISO cc -> 0.6 dynamic
     last_resort = F.when(
@@ -418,19 +573,28 @@ def doc_type_expr(prefix: str = "") -> Column:
         _type_struct("unknown", 0.0, None, None, "Unknown Document", [])
     )
 
-    step3 = F.when(best_score >= 0.3, score_chain).otherwise(last_resort)
+    # bind `best` once (transform-lambda binding) — referencing the
+    # aggregate six times would re-inline and re-evaluate it per field
+    step3 = F.try_element_at(
+        F.transform(
+            F.array(best),
+            lambda b: F.when(
+                b["score"] >= 0.3,
+                _type_struct(
+                    b["dtype"], b["score"], b["country"], b["state"],
+                    b["dname"], ["pattern_score_match"],
+                ),
+            ).otherwise(last_resort),
+        ),
+        F.lit(1),
+    )
 
     return chain.otherwise(step3)
 
 
 def _first_map_lookup(country_code: Column) -> Column:
-    """ISO alpha-3 -> country name via a literal map (D8,
-    document_types.py:323-377)."""
-    pairs: list[Column] = []
-    for code, name in rules.COUNTRY_CODES.items():
-        pairs.append(F.lit(code))
-        pairs.append(F.lit(name))
-    return F.create_map(*pairs)[country_code]
+    """Back-compat alias for the D8 ISO lookup."""
+    return _country_name_expr(country_code)
 
 
 def with_doc_type(df: DataFrame, prefix: str = "") -> DataFrame:

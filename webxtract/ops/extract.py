@@ -34,17 +34,25 @@ from webxtract.schemas import EXTRACTED_SCHEMA
 _META_COLS = ["url", "warc_ts", "lang"]
 
 
+_RESULT_COLS = [
+    "extracted_text",
+    "spans",
+    "n_pages",
+    "avg_confidence",
+    "source_kind",
+    "parse_failure",
+    "n_bytes",
+]
+
+
 def _result_frame(meta: pd.DataFrame, results: list[tuple]) -> pd.DataFrame:
     out = meta.copy()
-    (
-        out["extracted_text"],
-        out["spans"],
-        out["n_pages"],
-        out["avg_confidence"],
-        out["source_kind"],
-        out["parse_failure"],
-        out["n_bytes"],
-    ) = zip(*results, strict=True)
+    if results:
+        cols = zip(*results, strict=True)
+    else:  # empty Arrow batch: zip(*[]) would raise, yield empty columns
+        cols = ([] for _ in _RESULT_COLS)
+    for name, values in zip(_RESULT_COLS, cols, strict=True):
+        out[name] = list(values)
     return out[[f.name for f in EXTRACTED_SCHEMA.fields]]
 
 

@@ -6,11 +6,25 @@ document on a thread pool (validation_service.py:306-327); here each
 validator is an independent column expression and the whole battery is
 one codegen'd projection — parallelism is across rows, not checks.
 
+Plan-size discipline (the round-1 lesson — a 34 MiB serialized task and
+minutes of janino compile): the 15 provincial/state DL validators and
+the 10 national passport validators are NOT inlined per type. Each
+family is ONE parametrized expression whose constants come from a
+*literal array of config structs*; the per-document config is selected
+with ``filter(cfg_array, c -> c.name == doc_type_enum)`` and bound via
+a ``transform`` lambda, so the plan carries exactly one copy of each
+family's logic plus a constant-folded rule table. Non-matching rows
+never evaluate the lambda (empty filter result), so dispatch cost is
+data-dependent exactly like the reference's dispatch map
+(validation_service.py:129-239).
+
 Statuses (passed/failed/warning/skipped), skip conditions, thresholds
 and check order replicate the reference exactly; message strings are
 representative (same shape, not byte-audited). The Verifik external
 lookup runs in its disabled default (config.py:7 VERIFIK_API_ENABLED=
-false) which changes no status.
+false), surfaced as details.verifik_api_enabled=false on the ON/BC DL
+results (ontario_dl.py:223-226, bc_dl.py:244-248) — it changes no
+status.
 
 Date handling: the 27-format tolerant parser (validators/base.py:56-98)
 becomes an ordered coalesce of try_to_date; "now" is the frozen
@@ -19,15 +33,47 @@ becomes an ordered coalesce of try_to_date; "now" is the frozen
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from webxtract.rules import COUNTRY_CODES, DATE_FORMATS_SPARK
 
+
 def _empty_arr():
     return F.array().cast("array<string>")
+
+
+def _empty_map():
+    return F.map_from_arrays(_empty_arr(), _empty_arr())
+
+
+# ---------------------------------------------------- literal-struct helpers
+
+
+def _lit_s(v) -> Column:  # noqa: ANN001
+    return F.lit(v) if v is not None else F.lit(None).cast("string")
+
+
+def _lit_i(v) -> Column:  # noqa: ANN001
+    return F.lit(int(v)) if v is not None else F.lit(None).cast("int")
+
+
+def _lit_d(v) -> Column:  # noqa: ANN001
+    return F.lit(float(v)) if v is not None else F.lit(None).cast("double")
+
+
+def _lit_b(v) -> Column:  # noqa: ANN001
+    return F.lit(bool(v))
+
+
+def _pick(arr: Column, build) -> Column:  # noqa: ANN001
+    """Bind the (0- or 1-element) config array via a transform lambda and
+    build the result; NULL when the array is empty. The lambda variable is
+    bound once, so ``build``'s expression tree appears exactly once in the
+    plan regardless of how many configs exist."""
+    return F.try_element_at(F.transform(arr, build), F.lit(1))
 
 
 # ------------------------------------------------------------- primitives
@@ -67,35 +113,50 @@ def _iw(cond: Column, msg: Column | str) -> Column:
     return F.when(cond, F.array(m)).otherwise(_empty_arr())
 
 
-def _result(name: str, issues: list[Column], warnings: list[Column],
-            fail_msg: str, warn_msg: str, pass_msg: str,
-            skip_cond: Column | None = None, skip_msg: str = "") -> Column:
+def _result(name: str | Column, issues: list[Column], warnings: list[Column],
+            fail_msg: str | Column, warn_msg: str | Column, pass_msg: str | Column,
+            skip_cond: Column | None = None, skip_msg: str = "",
+            details: Column | None = None) -> Column:
     """Assemble a ValidatorResult struct with the reference's
-    FAILED > WARNING > PASSED precedence (e.g. ontario_dl.py:231-258)."""
+    FAILED > WARNING > PASSED precedence (e.g. ontario_dl.py:231-258).
+    The issue/warning arrays are bound once (status + message both read
+    them; unbound they would be evaluated twice per row)."""
+    from webxtract.exprs import bind_once
+
+    def _c(v):  # noqa: ANN001
+        return F.lit(v) if isinstance(v, str) else v
+
     iss = F.flatten(F.array(*issues)) if issues else _empty_arr()
     wrn = F.flatten(F.array(*warnings)) if warnings else _empty_arr()
-    status = (
-        F.when(F.size(iss) > 0, "failed")
-        .when(F.size(wrn) > 0, "warning")
-        .otherwise("passed")
-    )
-    message = (
-        F.when(F.size(iss) > 0, F.concat(F.lit(fail_msg + ": "), F.array_join(iss, "; ")))
-        .when(F.size(wrn) > 0, F.concat(F.lit(warn_msg + ": "), F.array_join(wrn, "; ")))
-        .otherwise(F.lit(pass_msg))
-    )
-    if skip_cond is not None:
-        status = F.when(skip_cond, "skipped").otherwise(status)
-        message = F.when(skip_cond, F.lit(skip_msg)).otherwise(message)
-    return F.struct(
-        F.lit(name).alias("validator_name"),
-        status.alias("status"),
-        message.alias("message"),
-    )
+
+    def build(p: Column) -> Column:
+        pi, pw = p["iss"], p["wrn"]
+        status = (
+            F.when(F.size(pi) > 0, "failed")
+            .when(F.size(pw) > 0, "warning")
+            .otherwise("passed")
+        )
+        message = (
+            F.when(F.size(pi) > 0, F.concat(_c(fail_msg), F.lit(": "), F.array_join(pi, "; ")))
+            .when(F.size(pw) > 0, F.concat(_c(warn_msg), F.lit(": "), F.array_join(pw, "; ")))
+            .otherwise(_c(pass_msg))
+        )
+        if skip_cond is not None:
+            status = F.when(skip_cond, "skipped").otherwise(status)
+            message = F.when(skip_cond, F.lit(skip_msg)).otherwise(message)
+        return F.struct(
+            _c(name).alias("validator_name"),
+            status.alias("status"),
+            message.alias("message"),
+            (details if details is not None else _empty_map()).alias("details"),
+        )
+
+    return bind_once(F.struct(iss.alias("iss"), wrn.alias("wrn")), build)
 
 
-def _extract_last_name(variant: str, prefix: str) -> Column:
-    """The three last-name extraction variants (SURVEY.md §2.5):
+def _last_name_param(variant: Column, prefix: str) -> Column:
+    """The three last-name extraction variants (SURVEY.md §2.5), selected
+    per row by the config's ``name_variant``:
     - "first_word": comma-part else FIRST word else last_name field
       (ontario_dl.py:28-59; also QC/MB/NS/NL)
     - "bc": comma-part else last_name field else LAST word (bc_dl.py:27-53)
@@ -110,28 +171,30 @@ def _extract_last_name(variant: str, prefix: str) -> Column:
     last_word = F.trim(F.element_at(words, -1))
     has_comma = full.contains(",")
 
-    if variant == "first_word":
-        return (
-            F.when((full != "") & has_comma & (comma_part != ""), comma_part)
-            .when((full != "") & ~has_comma & (first_word != ""), first_word)
-            .when(last_field != "", last_field)
-            .otherwise(F.lit(""))
-        )
-    if variant == "bc":
-        return (
-            F.when((full != "") & has_comma & (comma_part != ""), comma_part)
-            .when(last_field != "", last_field)
-            .when((full != "") & (F.size(words) >= 2), last_word)
-            .otherwise(F.lit(""))
-        )
-    # field_first
-    return (
+    fw = (
+        F.when((full != "") & has_comma & (comma_part != ""), comma_part)
+        .when((full != "") & ~has_comma & (first_word != ""), first_word)
+        .when(last_field != "", last_field)
+        .otherwise(F.lit(""))
+    )
+    bc = (
+        F.when((full != "") & has_comma & (comma_part != ""), comma_part)
+        .when(last_field != "", last_field)
+        .when((full != "") & (F.size(words) >= 2), last_word)
+        .otherwise(F.lit(""))
+    )
+    ff = (
         F.when(last_field != "", last_field)
         .when((full != "") & has_comma, comma_part)
         .when((full != "") & (F.size(words) >= 2), last_word)
         .otherwise(F.lit(""))
     )
-
+    return (
+        F.when(variant == "first_word", fw)
+        .when(variant == "bc", bc)
+        .when(variant == "field_first", ff)
+        .otherwise(F.lit(""))
+    )
 
 
 # Pre-parsed date columns: parsing the three date fields once per row and
@@ -246,17 +309,28 @@ DOCUMENT_FORMAT_PATTERNS = [
 
 def document_format_validator(prefix: str = "") -> Column:
     """V4 (validators/document_format.py:40-82): PASS if any of the 18
-    patterns match raw or dash-stripped number, else WARN."""
+    patterns match raw or dash-stripped number, else WARN. The pattern
+    table is a constant-folded literal array — one exists() in the plan,
+    not 36 inlined rlikes."""
+    from webxtract.exprs import bind_once
+
     col = lambda n: F.col(prefix + n)  # noqa: E731
     skip = _blank(col("document_number"))
-    raw = F.upper(F.trim(F.coalesce(col("document_number"), F.lit(""))))
-    clean = F.regexp_replace(raw, r"[\s\-]", "")
-    match_flags = [
-        F.when(raw.rlike(p) | clean.rlike(p), 1).otherwise(0)
-        for _, p in DOCUMENT_FORMAT_PATTERNS
-    ]
-    n_matched = sum(match_flags[1:], match_flags[0])
-    warnings = [_iw(n_matched == 0, "Document number does not match common formats")]
+    raw_e = F.upper(F.trim(F.coalesce(col("document_number"), F.lit(""))))
+    patterns = F.array(*[F.lit(p) for _, p in DOCUMENT_FORMAT_PATTERNS])
+    # bind (raw, clean) once — the exists() lambda would otherwise
+    # re-evaluate both per pattern element
+    any_match = bind_once(
+        F.struct(
+            raw_e.alias("raw"),
+            F.regexp_replace(raw_e, r"[\s\-]", "").alias("clean"),
+        ),
+        lambda v: F.exists(
+            patterns,
+            lambda p: F.regexp_like(v["raw"], p) | F.regexp_like(v["clean"], p),
+        ),
+    )
+    warnings = [_iw(~any_match, "Document number does not match common formats")]
     return _result(
         "document_format", [], warnings,
         "", "Document format warning",
@@ -271,6 +345,7 @@ def face_matching_validator() -> Column:
         F.lit("face_matching").alias("validator_name"),
         F.lit("skipped").alias("status"),
         F.lit("Face matching skipped - no selfie provided").alias("message"),
+        _empty_map().alias("details"),
     )
 
 
@@ -301,6 +376,7 @@ class DLConfig:
     ontario_dob_encoding: bool = False
     bc_prefix_strip: bool = False
     strip_slash: bool = False                # Manitoba strips "/" too
+    verifik: bool = False                    # ON/BC registry lookup (disabled path)
 
 
 DL_CONFIGS: dict[str, DLConfig] = {
@@ -309,12 +385,12 @@ DL_CONFIGS: dict[str, DLConfig] = {
         "len:15:alpha", 16, (18,), name_variant="first_word",
         first_letter="fail", validity_low=None, validity_high=6.0,
         validity_div=365.0, expired_check=False, issue_check_min_age=None,
-        ontario_dob_encoding=True,
+        ontario_dob_encoding=True, verifik=True,
     ),
     "bc_drivers_license": DLConfig(
         "bc_drivers_license", "BC DL", r"^\d{6,7}$", "digits:5:8",
         16, (17, 19), name_variant="bc", issue_check_min_age=16,
-        bc_prefix_strip=True,
+        bc_prefix_strip=True, verifik=True,
     ),
     "alberta_drivers_license": DLConfig(
         "alberta_drivers_license", "Alberta DL", r"^\d{9}$", "digits:8:10",
@@ -378,43 +454,122 @@ DL_CONFIGS: dict[str, DLConfig] = {
 }
 
 
-def dl_validator(cfg: DLConfig, run_date: Column, prefix: str = "") -> Column:
-    col = lambda n: F.col(prefix + n)  # noqa: E731
-    raw = F.upper(F.trim(F.coalesce(col("document_number"), F.lit(""))))
+def _parse_near(spec: str | None) -> tuple[str | None, int | None, int | None]:
+    if spec is None:
+        return None, None, None
+    parts = spec.split(":")
+    if parts[0] == "digits":
+        return "digits", int(parts[1]), int(parts[2])
+    if parts[0] == "len" and len(parts) == 3:
+        return "len_alpha", int(parts[1]), None
+    return "len", int(parts[1]), None
 
-    if cfg.bc_prefix_strip:
-        # NDL:/NDL/DL:/DL prefix strip, else dash-strip (bc_dl.py:74-96)
-        clean = (
-            F.when(raw.startswith("NDL:"), F.trim(F.substring(raw, 5, 100)))
-            .when(raw.startswith("NDL"), F.trim(F.substring(raw, 4, 100)))
-            .when(raw.startswith("DL:"), F.trim(F.substring(raw, 4, 100)))
-            .when(raw.startswith("DL"), F.trim(F.substring(raw, 3, 100)))
-            .otherwise(F.regexp_replace(raw, r"[\s\-]", ""))
-        )
-    elif cfg.strip_slash:
-        clean = F.regexp_replace(raw, r"[\s\-/]", "")
-    else:
-        clean = F.regexp_replace(raw, r"[\s\-]", "")
+
+def _dl_cfg_struct(c: DLConfig) -> Column:
+    kind, lo, hi = _parse_near(c.near_miss)
+    tiers = list(c.warn_age_tiers)
+    return F.struct(
+        _lit_s(c.name).alias("name"),
+        _lit_s(c.display).alias("display"),
+        _lit_s(c.format_pattern).alias("fmt"),
+        _lit_s(kind).alias("near_kind"),
+        _lit_i(lo).alias("near_lo"),
+        _lit_i(hi).alias("near_hi"),
+        _lit_i(c.fail_age).alias("fail_age"),
+        _lit_i(tiers[0] if tiers else None).alias("tier1"),
+        _lit_i(tiers[1] if len(tiers) > 1 else None).alias("tier2"),
+        _lit_s(c.name_variant).alias("name_variant"),
+        _lit_s(c.first_letter).alias("first_letter"),
+        _lit_b(c.ns_prefix).alias("ns_prefix"),
+        _lit_d(c.validity_low).alias("validity_low"),
+        _lit_d(c.validity_high).alias("validity_high"),
+        _lit_d(c.validity_div).alias("validity_div"),
+        _lit_b(c.expired_check).alias("expired_check"),
+        _lit_b(c.expiry_warn_60).alias("expiry_warn_60"),
+        _lit_i(c.issue_check_min_age).alias("issue_min"),
+        _lit_b(c.ontario_dob_encoding).alias("ont_dob"),
+        _lit_b(c.bc_prefix_strip).alias("bc_strip"),
+        _lit_b(c.strip_slash).alias("strip_slash"),
+        _lit_b(c.verifik).alias("verifik"),
+    )
+
+
+def _dl_cfg_array() -> Column:
+    return F.array(*[_dl_cfg_struct(c) for c in DL_CONFIGS.values()])
+
+
+def _dl_result(cfg: Column, run_date: Column, prefix: str = "") -> Column:
+    """One parametrized DL validator over a bound config struct — the
+    single-copy form of the 15 per-province validators (SURVEY.md §2.5
+    V10-V23/V44-V45; the per-file logic differs only in the constants
+    carried by ``cfg``). The derived per-row values (cleaned number,
+    extracted last name, ages, validity, days-to-expiry) are bound once
+    and referenced as lambda variables."""
+    from webxtract.exprs import bind_once
+
+    col = lambda n: F.col(prefix + n)  # noqa: E731
+    raw_e = F.upper(F.trim(F.coalesce(col("document_number"), F.lit(""))))
+
+    # NDL:/NDL/DL:/DL prefix strip for BC (bc_dl.py:74-96); Manitoba also
+    # strips "/" (manitoba_dl.py:70-76); default strips spaces/dashes.
+    bc_clean = (
+        F.when(raw_e.startswith("NDL:"), F.trim(F.substring(raw_e, 5, 100)))
+        .when(raw_e.startswith("NDL"), F.trim(F.substring(raw_e, 4, 100)))
+        .when(raw_e.startswith("DL:"), F.trim(F.substring(raw_e, 4, 100)))
+        .when(raw_e.startswith("DL"), F.trim(F.substring(raw_e, 3, 100)))
+        .otherwise(F.regexp_replace(raw_e, r"[\s\-]", ""))
+    )
+    clean_e = (
+        F.when(cfg["bc_strip"], bc_clean)
+        .when(cfg["strip_slash"], F.regexp_replace(raw_e, r"[\s\-/]", ""))
+        .otherwise(F.regexp_replace(raw_e, r"[\s\-]", ""))
+    )
+    dob_e, issue_e, exp_e = _dates()
+    derived = F.struct(
+        raw_e.alias("raw"),
+        clean_e.alias("clean"),
+        _last_name_param(cfg["name_variant"], prefix).alias("last_name"),
+        _age_expr(run_date, dob_e).alias("age"),
+        _age_expr(issue_e, dob_e).alias("age_at_issue"),
+        (F.datediff(exp_e, issue_e) / cfg["validity_div"]).alias("validity"),
+        F.datediff(exp_e, run_date).alias("days"),
+    )
+    return bind_once(derived, lambda v: _dl_body(cfg, v, run_date, prefix))
+
+
+def _dl_body(cfg: Column, v: Column, run_date: Column, prefix: str) -> Column:
+    col = lambda n: F.col(prefix + n)  # noqa: E731
+    raw, clean = v["raw"], v["clean"]
 
     issues: list[Column] = []
     warnings: list[Column] = []
 
-    # check 1: number format
-    fmt_ok = clean.rlike(cfg.format_pattern)
-    near = F.lit(False)
-    if cfg.near_miss:
-        parts = cfg.near_miss.split(":")
-        if parts[0] == "digits":
-            lo, hi = int(parts[1]), int(parts[2])
-            near = clean.rlike(r"^\d+$") & (F.length(clean) >= lo) & (F.length(clean) <= hi)
-        elif parts[0] == "len" and len(parts) == 3:
-            near = (F.length(clean) == int(parts[1])) & F.substring(clean, 1, 1).rlike("[A-Z]")
-        else:
-            near = F.length(clean) == int(parts[1])
+    # check 1: number format. The pattern is evaluated against the raw
+    # upper-trimmed number AND the stripped one — the Ontario pattern
+    # requires its hyphens (ontario_dl.py:79 matches the un-stripped
+    # number), every other config's digits-only pattern matches the
+    # stripped form; a raw match is never spurious because only the
+    # Ontario pattern contains separators.
+    fmt_ok = F.regexp_like(raw, cfg["fmt"]) | F.regexp_like(clean, cfg["fmt"])
+    near = (
+        F.when(
+            cfg["near_kind"] == "digits",
+            clean.rlike(r"^\d+$")
+            & (F.length(clean) >= cfg["near_lo"])
+            & (F.length(clean) <= cfg["near_hi"]),
+        )
+        .when(
+            cfg["near_kind"] == "len_alpha",
+            (F.length(clean) == cfg["near_lo"])
+            & F.substring(clean, 1, 1).rlike("[A-Z]"),
+        )
+        .when(cfg["near_kind"] == "len", F.length(clean) == cfg["near_lo"])
+        .otherwise(F.lit(False))
+    )
     issues.append(_iw(clean == "", "Missing licence number"))
     issues.append(
         _iw((clean != "") & ~fmt_ok & ~near,
-            F.concat(F.lit(f"Invalid {cfg.display} format. Got: "), raw))
+            F.concat(F.lit("Invalid "), cfg["display"], F.lit(" format. Got: "), raw))
     )
     warnings.append(
         _iw((clean != "") & ~fmt_ok & near,
@@ -422,151 +577,175 @@ def dl_validator(cfg: DLConfig, run_date: Column, prefix: str = "") -> Column:
     )
 
     # first-letter / NS-prefix name checks
-    if cfg.name_variant:
-        last_name = _extract_last_name(cfg.name_variant, prefix)
-        letter = F.substring(clean, 1, 1)
-        if cfg.first_letter:
-            cond_mismatch = (
-                (clean != "")
-                & letter.rlike("[A-Z]")
-                & (last_name != "")
-                & (letter != F.upper(F.substring(last_name, 1, 1)))
-            )
-            cond_noname = (clean != "") & letter.rlike("[A-Z]") & (last_name == "")
-            msg = F.concat(
-                F.lit("Licence first letter '"), letter,
-                F.lit("' does not match last name initial '"),
-                F.upper(F.substring(last_name, 1, 1)), F.lit("'"),
-            )
-            if cfg.first_letter == "fail":
-                issues.append(_iw(cond_mismatch, msg))
-            else:
-                warnings.append(_iw(cond_mismatch, msg))
-            warnings.append(
-                _iw(cond_noname, F.concat(
-                    F.lit("Cannot verify licence letter '"), letter,
-                    F.lit("' - no last name found")))
-            )
-        if cfg.ns_prefix:
-            # surname -> 5-letter X-padded prefix; warn on first-letter
-            # mismatch only (nova_scotia_dl.py:51-60,106-120)
-            ln_clean = F.regexp_replace(F.upper(last_name), "[^A-Z]", "")
-            expected = F.rpad(F.substring(ln_clean, 1, 5), 5, "X")
-            warnings.append(
-                _iw(
-                    (clean != "") & (F.length(clean) >= 5) & (last_name != "")
-                    & (F.substring(clean, 1, 1) != F.substring(expected, 1, 1)),
-                    F.concat(F.lit("Licence prefix '"), F.substring(clean, 1, 5),
-                             F.lit("' may not match surname '"), last_name, F.lit("'")),
-                )
-            )
+    last_name = v["last_name"]
+    letter = F.substring(clean, 1, 1)
+    has_fl = cfg["first_letter"].isNotNull()
+    cond_mismatch = (
+        has_fl
+        & (clean != "")
+        & letter.rlike("[A-Z]")
+        & (last_name != "")
+        & (letter != F.upper(F.substring(last_name, 1, 1)))
+    )
+    cond_noname = has_fl & (clean != "") & letter.rlike("[A-Z]") & (last_name == "")
+    fl_msg = F.concat(
+        F.lit("Licence first letter '"), letter,
+        F.lit("' does not match last name initial '"),
+        F.upper(F.substring(last_name, 1, 1)), F.lit("'"),
+    )
+    issues.append(_iw(cond_mismatch & (cfg["first_letter"] == "fail"), fl_msg))
+    warnings.append(_iw(cond_mismatch & (cfg["first_letter"] == "warn"), fl_msg))
+    warnings.append(
+        _iw(cond_noname, F.concat(
+            F.lit("Cannot verify licence letter '"), letter,
+            F.lit("' - no last name found")))
+    )
+    # surname -> 5-letter X-padded prefix; warn on first-letter mismatch
+    # only (nova_scotia_dl.py:51-60,106-120)
+    ln_clean = F.regexp_replace(F.upper(last_name), "[^A-Z]", "")
+    expected = F.rpad(F.substring(ln_clean, 1, 5), 5, "X")
+    warnings.append(
+        _iw(
+            cfg["ns_prefix"] & (clean != "") & (F.length(clean) >= 5)
+            & (last_name != "")
+            & (F.substring(clean, 1, 1) != F.substring(expected, 1, 1)),
+            F.concat(F.lit("Licence prefix '"), F.substring(clean, 1, 5),
+                     F.lit("' may not match surname '"), last_name, F.lit("'")),
+        )
+    )
 
     # minimum-age tiers
     dob, issue_d, exp = _dates()
-    age = _age_expr(run_date, dob)
+    age = v["age"]
     has_dob = dob.isNotNull()
     issues.append(
-        _iw(has_dob & (age < cfg.fail_age),
+        _iw(has_dob & (age < cfg["fail_age"]),
             F.concat(F.lit("Person is "), age.cast("string"),
-                     F.lit(f" years old. {cfg.display} requires minimum {cfg.fail_age}")))
+                     F.lit(" years old. "), cfg["display"],
+                     F.lit(" requires minimum "), cfg["fail_age"].cast("string")))
     )
-    prev = cfg.fail_age
-    for tier in cfg.warn_age_tiers:
-        warnings.append(
-            _iw(has_dob & (age >= prev) & (age < tier),
-                F.concat(F.lit("Person is "), age.cast("string"),
-                         F.lit(f". Licence-class restrictions may apply (under {tier})")))
-        )
-        prev = tier
+    warnings.append(
+        _iw(cfg["tier1"].isNotNull() & has_dob
+            & (age >= cfg["fail_age"]) & (age < cfg["tier1"]),
+            F.concat(F.lit("Person is "), age.cast("string"),
+                     F.lit(". Licence-class restrictions may apply (under "),
+                     cfg["tier1"].cast("string"), F.lit(")")))
+    )
+    warnings.append(
+        _iw(cfg["tier2"].isNotNull() & has_dob
+            & (age >= cfg["tier1"]) & (age < cfg["tier2"]),
+            F.concat(F.lit("Person is "), age.cast("string"),
+                     F.lit(". Licence-class restrictions may apply (under "),
+                     cfg["tier2"].cast("string"), F.lit(")")))
+    )
 
     # expiry-on-birthday (warn)
     warnings.append(
         _iw(
             has_dob & exp.isNotNull()
             & ((F.month(dob) != F.month(exp)) | (F.dayofmonth(dob) != F.dayofmonth(exp))),
-            f"Expiry date is not on birthday. {cfg.display} typically expires on holder's birthday",
+            F.concat(F.lit("Expiry date is not on birthday. "), cfg["display"],
+                     F.lit(" typically expires on holder's birthday")),
         )
     )
 
     # validity window (warn)
-    validity = F.datediff(exp, issue_d) / F.lit(cfg.validity_div)
+    validity = v["validity"]
     has_validity = issue_d.isNotNull() & exp.isNotNull()
-    if cfg.validity_low is not None:
-        warnings.append(
-            _iw(has_validity & (validity < cfg.validity_low),
-                f"Short validity period (under {cfg.validity_low} years)")
-        )
-    if cfg.validity_high is not None:
-        warnings.append(
-            _iw(has_validity & (validity > cfg.validity_high),
-                f"Validity period exceeds typical {cfg.display} term")
-        )
+    warnings.append(
+        _iw(cfg["validity_low"].isNotNull() & has_validity
+            & (validity < cfg["validity_low"]),
+            F.concat(F.lit("Short validity period (under "),
+                     cfg["validity_low"].cast("string"), F.lit(" years)")))
+    )
+    warnings.append(
+        _iw(cfg["validity_high"].isNotNull() & has_validity
+            & (validity > cfg["validity_high"]),
+            F.concat(F.lit("Validity period exceeds typical "), cfg["display"],
+                     F.lit(" term")))
+    )
 
     # expired check
-    if cfg.expired_check:
-        days = F.datediff(exp, run_date)
-        issues.append(
-            _iw(exp.isNotNull() & (exp < run_date),
-                F.concat(F.lit("Licence expired "), (-days).cast("string"), F.lit(" days ago")))
-        )
-        warnings.append(
-            _iw(exp.isNotNull() & (exp >= run_date) & (days < 30),
-                F.concat(F.lit("Licence expires in "), days.cast("string"), F.lit(" days")))
-        )
-        if cfg.expiry_warn_60:
-            warnings.append(
-                _iw(exp.isNotNull() & (exp >= run_date) & (days >= 30) & (days < 60),
-                    F.concat(F.lit("Licence expires soon ("), days.cast("string"), F.lit(" days)")))
-            )
+    days = v["days"]
+    issues.append(
+        _iw(cfg["expired_check"] & exp.isNotNull() & (exp < run_date),
+            F.concat(F.lit("Licence expired "), (-days).cast("string"), F.lit(" days ago")))
+    )
+    warnings.append(
+        _iw(cfg["expired_check"] & exp.isNotNull() & (exp >= run_date) & (days < 30),
+            F.concat(F.lit("Licence expires in "), days.cast("string"), F.lit(" days")))
+    )
+    warnings.append(
+        _iw(cfg["expired_check"] & cfg["expiry_warn_60"] & exp.isNotNull()
+            & (exp >= run_date) & (days >= 30) & (days < 60),
+            F.concat(F.lit("Licence expires soon ("), days.cast("string"), F.lit(" days)")))
+    )
 
     # issue-date sanity
-    if cfg.issue_check_min_age is not None:
-        age_at_issue = _age_expr(issue_d, dob)
-        issues.append(_iw(issue_d.isNotNull() & (issue_d > run_date),
-                          "Issue date cannot be in the future"))
-        issues.append(
-            _iw(issue_d.isNotNull() & has_dob & (issue_d < dob),
-                "Issue date cannot be before date of birth")
+    age_at_issue = v["age_at_issue"]
+    has_issue_check = cfg["issue_min"].isNotNull()
+    issues.append(_iw(has_issue_check & issue_d.isNotNull() & (issue_d > run_date),
+                      "Issue date cannot be in the future"))
+    issues.append(
+        _iw(has_issue_check & issue_d.isNotNull() & has_dob & (issue_d < dob),
+            "Issue date cannot be before date of birth")
+    )
+    issues.append(
+        _iw(
+            has_issue_check & issue_d.isNotNull() & has_dob & (issue_d >= dob)
+            & (age_at_issue < cfg["issue_min"]),
+            F.concat(F.lit("Person was "), age_at_issue.cast("string"),
+                     F.lit(" at issue date. "), cfg["display"],
+                     F.lit(" requires minimum "), cfg["issue_min"].cast("string"),
+                     F.lit(" for any licence")),
         )
-        issues.append(
-            _iw(
-                issue_d.isNotNull() & has_dob & (issue_d >= dob)
-                & (age_at_issue < cfg.issue_check_min_age),
-                F.concat(F.lit("Person was "), age_at_issue.cast("string"),
-                         F.lit(f" at issue date. {cfg.display} requires minimum "
-                               f"{cfg.issue_check_min_age} for any licence")),
-            )
-        )
+    )
 
     # Ontario DOB-in-number encoding (ontario_dl.py:156-202)
-    if cfg.ontario_dob_encoding:
-        no_hyphen = F.regexp_replace(clean, r"[\s\-]", "")
-        last6 = F.substring(no_hyphen, -6, 6)
-        yy = F.date_format(dob, "yy")
-        male = F.concat(yy, F.date_format(dob, "MM"), F.date_format(dob, "dd"))
-        female = F.concat(yy, F.lpad((F.month(dob) + 50).cast("string"), 2, "0"),
-                          F.date_format(dob, "dd"))
-        gender = F.upper(F.trim(F.coalesce(col("gender"), F.lit(""))))
-        checkable = (clean != "") & has_dob
-        issues.append(
-            _iw(checkable & (last6 != male) & (last6 != female),
-                F.concat(F.lit("Last 6 digits of licence '"), last6,
-                         F.lit("' do not match DOB encoding")))
-        )
-        warnings.append(
-            _iw(checkable & (last6 == male) & gender.isin("F", "FEMALE"),
-                "License uses male DOB encoding but gender is female")
-        )
-        warnings.append(
-            _iw(checkable & (last6 == female) & gender.isin("M", "MALE"),
-                "License uses female DOB encoding (month +50) but gender is male")
-        )
+    no_hyphen = F.regexp_replace(clean, r"[\s\-]", "")
+    last6 = F.substring(no_hyphen, -6, 6)
+    yy = F.date_format(dob, "yy")
+    male = F.concat(yy, F.date_format(dob, "MM"), F.date_format(dob, "dd"))
+    female = F.concat(yy, F.lpad((F.month(dob) + 50).cast("string"), 2, "0"),
+                      F.date_format(dob, "dd"))
+    gender = F.upper(F.trim(F.coalesce(col("gender"), F.lit(""))))
+    checkable = cfg["ont_dob"] & (clean != "") & has_dob
+    issues.append(
+        _iw(checkable & (last6 != male) & (last6 != female),
+            F.concat(F.lit("Last 6 digits of licence '"), last6,
+                     F.lit("' do not match DOB encoding")))
+    )
+    warnings.append(
+        _iw(checkable & (last6 == male) & gender.isin("F", "FEMALE"),
+            "License uses male DOB encoding but gender is female")
+    )
+    warnings.append(
+        _iw(checkable & (last6 == female) & gender.isin("M", "MALE"),
+            "License uses female DOB encoding (month +50) but gender is male")
+    )
+
+    # Verifik registry lookup — disabled default (config.py:7); the
+    # reference attaches details.verifik_api_enabled=false when local
+    # checks were clean (ontario_dl.py:204-226).
+    details = F.when(
+        cfg["verifik"],
+        F.create_map(F.lit("verifik_api_enabled"), F.lit("false")),
+    ).otherwise(_empty_map())
 
     return _result(
-        cfg.name, issues, warnings,
-        f"{cfg.display} validation failed",
-        f"{cfg.display} validation passed with warnings",
-        f"{cfg.display} validation passed",
+        cfg["name"], issues, warnings,
+        F.concat(cfg["display"], F.lit(" validation failed")),
+        F.concat(cfg["display"], F.lit(" validation passed with warnings")),
+        F.concat(cfg["display"], F.lit(" validation passed")),
+        details=details,
+    )
+
+
+def dl_validator(cfg: DLConfig, run_date: Column, prefix: str = "") -> Column:
+    """Single-config convenience wrapper (tests / ad-hoc use)."""
+    return _pick(
+        F.array(_dl_cfg_struct(cfg)),
+        lambda c: _dl_result(c, run_date, prefix),
     )
 
 
@@ -623,108 +802,179 @@ PASSPORT_CONFIGS: dict[str, PassportConfig] = {
 }
 
 
-def _passport_near_miss(kind: str | None, clean: Column) -> Column:
-    if kind is None:
-        return F.lit(False)
-    if kind.startswith("digits"):
-        _, lo, hi = kind.split(":")
-        return clean.rlike(r"^\d+$") & F.length(clean).between(int(lo), int(hi))
-    if kind == "france":
-        return clean.rlike(r"^[A-Z0-9]{9}$")
-    if kind.endswith(":egd"):
-        n = int(kind.split(":")[1])
-        return (F.length(clean) == n) & F.substring(clean, 1, 1).isin("E", "G", "D")
-    if kind.endswith(":alpha2"):
-        if kind.startswith("len89"):
-            return F.length(clean).isin(8, 9) & F.substring(clean, 1, 2).rlike("^[A-Z]{2}$")
-        n = int(kind.split(":")[1])
-        return (F.length(clean) == n) & F.substring(clean, 1, 2).rlike("^[A-Z]{2}$")
-    if kind.startswith("minlen"):
-        n = int(kind.split(":")[1])
-        return (F.length(clean) >= n) & F.substring(clean, 1, 1).rlike("[A-Z]")
-    n = int(kind.split(":")[1])
-    return (F.length(clean) == n) & F.substring(clean, 1, 1).rlike("[A-Z]")
+def _parse_pp_near(spec: str | None) -> tuple[str | None, int | None, int | None]:
+    if spec is None:
+        return None, None, None
+    if spec == "france":
+        return "france", None, None
+    if spec == "len89:alpha2":
+        return "len89_alpha2", None, None
+    parts = spec.split(":")
+    if parts[0] == "digits":
+        return "digits", int(parts[1]), int(parts[2])
+    if parts[0] == "minlen":
+        return "minlen_alpha", int(parts[1]), None
+    # len:N:egd | len:N:alpha2 | len:N:alpha
+    return f"len_{parts[2]}", int(parts[1]), None
 
 
-def passport_validator(cfg: PassportConfig, run_date: Column, prefix: str = "") -> Column:
+def _pp_cfg_struct(c: PassportConfig) -> Column:
+    kind, lo, hi = _parse_pp_near(c.near_miss)
+    c_lo, c_hi = c.child_window if c.child_window else (None, None)
+    a_lo, a_hi = c.adult_window
+    return F.struct(
+        _lit_s(c.name).alias("name"),
+        _lit_s(c.display).alias("display"),
+        _lit_s(c.country_code).alias("cc"),
+        _lit_s(c.format_pattern).alias("fmt"),
+        _lit_s(kind).alias("near_kind"),
+        _lit_i(lo).alias("near_lo"),
+        _lit_i(hi).alias("near_hi"),
+        _lit_i(c.child_age).alias("child_age"),
+        _lit_d(c_lo).alias("child_lo"),
+        _lit_d(c_hi).alias("child_hi"),
+        _lit_d(a_lo).alias("adult_lo"),
+        _lit_d(a_hi).alias("adult_hi"),
+        _lit_b(c.no_age_fallback).alias("no_age_fallback"),
+        _lit_b(c.fixed_window_only).alias("fixed_window_only"),
+        _lit_b(c.always_window).alias("always_window"),
+        _lit_s(c.invalid_letters).alias("inv_letters"),
+    )
+
+
+def _pp_cfg_array() -> Column:
+    return F.array(*[_pp_cfg_struct(c) for c in PASSPORT_CONFIGS.values()])
+
+
+def _pp_result(cfg: Column, run_date: Column, prefix: str = "") -> Column:
+    """One parametrized national-passport validator (V31-V40) over a
+    bound config struct. Derived per-row values are bound once."""
+    from webxtract.exprs import bind_once
+
     col = lambda n: F.col(prefix + n)  # noqa: E731
-    cc = F.upper(F.trim(F.coalesce(col("country_code"), F.lit(""))))
-    raw = F.trim(F.coalesce(col("document_number"), F.lit("")))
-    clean = F.regexp_replace(F.upper(raw), r"[\s\-]", "")
+    raw_e = F.trim(F.coalesce(col("document_number"), F.lit("")))
+    dob_e, issue_e, exp_e = _dates()
+    derived = F.struct(
+        F.upper(F.trim(F.coalesce(col("country_code"), F.lit("")))).alias("cc"),
+        raw_e.alias("raw"),
+        F.regexp_replace(F.upper(raw_e), r"[\s\-]", "").alias("clean"),
+        _age_expr(issue_e, dob_e).alias("age_at_issue"),
+        (F.datediff(exp_e, issue_e) / 365.25).alias("validity"),
+        F.datediff(exp_e, run_date).alias("days"),
+    )
+    return bind_once(derived, lambda v: _pp_body(cfg, v, run_date, prefix))
+
+
+def _pp_body(cfg: Column, v: Column, run_date: Column, prefix: str) -> Column:
+    cc, raw, clean = v["cc"], v["raw"], v["clean"]
 
     issues: list[Column] = []
     warnings: list[Column] = []
 
     # country-code check -> WARNING on mismatch (us_passport.py:36-43)
     warnings.append(
-        _iw((cc != "") & (cc != cfg.country_code),
+        _iw((cc != "") & (cc != cfg["cc"]),
             F.concat(F.lit("Country code '"), cc,
-                     F.lit(f"' does not match expected '{cfg.country_code}'")))
+                     F.lit("' does not match expected '"), cfg["cc"], F.lit("'")))
     )
 
-    fmt_ok = clean.rlike(cfg.format_pattern)
-    near = _passport_near_miss(cfg.near_miss, clean)
+    fmt_ok = F.regexp_like(clean, cfg["fmt"])
+    near = (
+        F.when(
+            cfg["near_kind"] == "digits",
+            clean.rlike(r"^\d+$")
+            & F.length(clean).between(cfg["near_lo"], cfg["near_hi"]),
+        )
+        .when(cfg["near_kind"] == "france", clean.rlike(r"^[A-Z0-9]{9}$"))
+        .when(
+            cfg["near_kind"] == "len_egd",
+            (F.length(clean) == cfg["near_lo"])
+            & F.substring(clean, 1, 1).isin("E", "G", "D"),
+        )
+        .when(
+            cfg["near_kind"] == "len89_alpha2",
+            F.length(clean).isin(8, 9) & F.substring(clean, 1, 2).rlike("^[A-Z]{2}$"),
+        )
+        .when(
+            cfg["near_kind"] == "len_alpha2",
+            (F.length(clean) == cfg["near_lo"])
+            & F.substring(clean, 1, 2).rlike("^[A-Z]{2}$"),
+        )
+        .when(
+            cfg["near_kind"] == "minlen_alpha",
+            (F.length(clean) >= cfg["near_lo"])
+            & F.substring(clean, 1, 1).rlike("[A-Z]"),
+        )
+        .when(
+            cfg["near_kind"] == "len_alpha",
+            (F.length(clean) == cfg["near_lo"])
+            & F.substring(clean, 1, 1).rlike("[A-Z]"),
+        )
+        .otherwise(F.lit(False))
+    )
+    has_inv = cfg["inv_letters"].isNotNull()
+    bad = F.size(
+        F.filter(F.split(clean, ""), lambda ch: F.contains(cfg["inv_letters"], ch))
+    )
     issues.append(_iw(clean == "", "Missing passport number"))
-    if cfg.invalid_letters:
-        bad = F.size(
-            F.filter(F.split(clean, ""), lambda c: c.isin(*list(cfg.invalid_letters)))
-        )
-        issues.append(
-            _iw((clean != "") & fmt_ok & (bad > 0),
-                f"Passport number contains invalid characters "
-                f"({'/'.join(cfg.invalid_letters)} not used)")
-        )
-        issues.append(
-            _iw((clean != "") & ~fmt_ok,
-                F.concat(F.lit(f"Invalid {cfg.display} format. Got: "), raw))
-        )
-    else:
-        issues.append(
-            _iw((clean != "") & ~fmt_ok & ~near,
-                F.concat(F.lit(f"Invalid {cfg.display} format. Got: "), raw))
-        )
-        warnings.append(
-            _iw((clean != "") & ~fmt_ok & near,
-                F.concat(F.lit("Passport number may have format issues: "), raw))
-        )
+    issues.append(
+        _iw(has_inv & (clean != "") & fmt_ok & (bad > 0),
+            F.concat(F.lit("Passport number contains invalid characters ("),
+                     F.array_join(F.split(cfg["inv_letters"], ""), "/"),
+                     F.lit(" not used)")))
+    )
+    issues.append(
+        _iw(has_inv & (clean != "") & ~fmt_ok,
+            F.concat(F.lit("Invalid "), cfg["display"], F.lit(" format. Got: "), raw))
+    )
+    issues.append(
+        _iw(~has_inv & (clean != "") & ~fmt_ok & ~near,
+            F.concat(F.lit("Invalid "), cfg["display"], F.lit(" format. Got: "), raw))
+    )
+    warnings.append(
+        _iw(~has_inv & (clean != "") & ~fmt_ok & near,
+            F.concat(F.lit("Passport number may have format issues: "), raw))
+    )
 
     dob, issue_d, exp = _dates()
-    age_at_issue = _age_expr(issue_d, dob)
+    age_at_issue = v["age_at_issue"]
     has_age = dob.isNotNull() & issue_d.isNotNull()
 
     issues.append(_iw(has_age & (issue_d < dob), "Issue date cannot be before date of birth"))
 
-    validity = F.datediff(exp, issue_d) / 365.25
+    validity = v["validity"]
     has_validity = issue_d.isNotNull() & exp.isNotNull()
-    a_lo, a_hi = cfg.adult_window
-    in_adult = (validity >= a_lo) & (validity <= a_hi)
-    if cfg.fixed_window_only:
-        warnings.append(_iw(has_validity & ~in_adult,
-                            f"Validity outside expected ~10 years for {cfg.display}"))
-    elif cfg.always_window:
-        c_lo, c_hi = cfg.child_window
-        in_child = (validity >= c_lo) & (validity <= c_hi)
-        warnings.append(_iw(has_validity & ~in_child & ~in_adult,
-                            f"Validity outside expected windows for {cfg.display}"))
-    else:
-        c_lo, c_hi = cfg.child_window
-        in_child = (validity >= c_lo) & (validity <= c_hi)
-        warnings.append(
-            _iw(has_validity & has_age & (age_at_issue < cfg.child_age) & ~in_child,
-                f"Child/young passport validity outside ~{c_hi - 0.5:.0f}-year window")
-        )
-        warnings.append(
-            _iw(has_validity & has_age & (age_at_issue >= cfg.child_age) & ~in_adult,
-                "Adult passport validity outside ~10-year window")
-        )
-        if cfg.no_age_fallback:
-            warnings.append(
-                _iw(has_validity & ~has_age & ~in_child & ~in_adult,
-                    f"Validity outside expected windows for {cfg.display}")
-            )
+    in_adult = (validity >= cfg["adult_lo"]) & (validity <= cfg["adult_hi"])
+    in_child = (validity >= cfg["child_lo"]) & (validity <= cfg["child_hi"])
+    warnings.append(
+        _iw(cfg["fixed_window_only"] & has_validity & ~in_adult,
+            F.concat(F.lit("Validity outside expected ~10 years for "), cfg["display"]))
+    )
+    warnings.append(
+        _iw(cfg["always_window"] & has_validity & ~in_child & ~in_adult,
+            F.concat(F.lit("Validity outside expected windows for "), cfg["display"]))
+    )
+    tiered = ~cfg["fixed_window_only"] & ~cfg["always_window"]
+    warnings.append(
+        _iw(tiered & has_validity & has_age
+            & (age_at_issue < cfg["child_age"]) & ~in_child,
+            F.concat(F.lit("Child/young passport validity outside ~"),
+                     (cfg["child_hi"] - 0.5).cast("int").cast("string"),
+                     F.lit("-year window")))
+    )
+    warnings.append(
+        _iw(tiered & has_validity & has_age
+            & (age_at_issue >= cfg["child_age"]) & ~in_adult,
+            "Adult passport validity outside ~10-year window")
+    )
+    warnings.append(
+        _iw(tiered & cfg["no_age_fallback"] & has_validity & ~has_age
+            & ~in_child & ~in_adult,
+            F.concat(F.lit("Validity outside expected windows for "), cfg["display"]))
+    )
 
     # expiry: FAIL expired, WARN <180 days
-    days = F.datediff(exp, run_date)
+    days = v["days"]
     issues.append(
         _iw(exp.isNotNull() & (exp < run_date),
             F.concat(F.lit("Passport expired "), (-days).cast("string"), F.lit(" days ago")))
@@ -736,10 +986,18 @@ def passport_validator(cfg: PassportConfig, run_date: Column, prefix: str = "") 
     )
 
     return _result(
-        cfg.name, issues, warnings,
-        f"{cfg.display} validation failed",
-        f"{cfg.display} validation passed with warnings",
-        f"{cfg.display} validation passed",
+        cfg["name"], issues, warnings,
+        F.concat(cfg["display"], F.lit(" validation failed")),
+        F.concat(cfg["display"], F.lit(" validation passed with warnings")),
+        F.concat(cfg["display"], F.lit(" validation passed")),
+    )
+
+
+def passport_validator(cfg: PassportConfig, run_date: Column, prefix: str = "") -> Column:
+    """Single-config convenience wrapper (tests / ad-hoc use)."""
+    return _pick(
+        F.array(_pp_cfg_struct(cfg)),
+        lambda c: _pp_result(c, run_date, prefix),
     )
 
 
@@ -1018,125 +1276,149 @@ _US_STATE_INDICATORS = {
 _LETTER_MATCH_STATES = {"california", "florida", "michigan", "illinois", "new_jersey"}
 
 
+def _us_state_table() -> Column:
+    """Literal struct array of the 12-state table (key, fmt, min_age,
+    validity_years, first-letter-check flag, address indicators)."""
+    rows = []
+    for key, _name, fmt, min_age, vy in US_STATE_FORMATS:
+        rows.append(
+            F.struct(
+                _lit_s(key).alias("key"),
+                _lit_s(fmt).alias("fmt"),
+                _lit_i(min_age).alias("min_age"),
+                _lit_i(vy).alias("validity_years"),
+                _lit_b(key in _LETTER_MATCH_STATES).alias("letter_check"),
+                F.array(
+                    *[F.lit(i) for i in _US_STATE_INDICATORS[key]]
+                ).alias("indicators"),
+            )
+        )
+    return F.array(*rows)
+
+
 def us_drivers_license_validator(run_date: Column, prefix: str = "") -> Column:
     """V46 (validators/us_drivers_license.py:173-352): state from address
     (else by format match), per-state format FAIL, first-letter warn for
-    CA/FL/MI/IL/NJ, state min-age, expiry, validity + 2y slack."""
+    CA/FL/MI/IL/NJ, state min-age, expiry, validity + 2y slack. The
+    12-state table is a constant-folded literal array; per-state values
+    come from first-match filters over it, not inlined when-chains."""
     col = lambda n: F.col(prefix + n)  # noqa: E731
     address = F.upper(F.coalesce(col("address"), F.lit("")))
     raw = F.trim(F.coalesce(col("document_number"), F.lit("")))
     clean = F.regexp_replace(F.upper(raw), r"[\s\-]", "")
 
-    state_by_addr = None
-    for key, indicators in _US_STATE_INDICATORS.items():
-        cond = None
-        for ind in indicators:
-            c = address.contains(ind)
-            cond = c if cond is None else (cond | c)
-        state_by_addr = (
-            F.when(cond, F.lit(key)) if state_by_addr is None else state_by_addr.when(cond, F.lit(key))
-        )
-    state_by_addr = state_by_addr.otherwise(F.lit(None))
-
-    state_by_fmt = None
-    for key, _name, fmt, _ma, _vy in US_STATE_FORMATS:
-        cond = clean.rlike(fmt)
-        state_by_fmt = (
-            F.when(cond, F.lit(key)) if state_by_fmt is None else state_by_fmt.when(cond, F.lit(key))
-        )
-    state_by_fmt = state_by_fmt.otherwise(F.lit(None))
-
-    state = F.coalesce(state_by_addr, state_by_fmt)
-
-    def per_state(getter):  # noqa: ANN001
-        chain = None
-        for key, name, fmt, min_age, vy in US_STATE_FORMATS:
-            v = getter(key, name, fmt, min_age, vy)
-            chain = F.when(state == key, v) if chain is None else chain.when(state == key, v)
-        return chain
-
-    fmt_ok_for_state = per_state(lambda k, n, f, a, v: clean.rlike(f)).otherwise(F.lit(False))
-    min_age_for_state = per_state(lambda k, n, f, a, v: F.lit(a)).otherwise(F.lit(16))
-    validity_for_state = per_state(lambda k, n, f, a, v: F.lit(v)).otherwise(F.lit(None))
-
-    generic_ok = clean.rlike(r"^[A-Z0-9]{6,16}$")
-
-    last_name = _extract_last_name("field_first", prefix)
-    letter = F.substring(clean, 1, 1)
-    letter_state = state.isin(*_LETTER_MATCH_STATES)
-
-    dob, issue_d, exp = _dates()
-    age = _age_expr(run_date, dob)
-    days = F.datediff(exp, run_date)
-    validity = F.datediff(exp, issue_d) / 365.25
-    has_validity = issue_d.isNotNull() & exp.isNotNull()
-
-    issues = [
-        _iw(clean == "", "Missing license number"),
-        _iw((clean != "") & state.isNotNull() & ~fmt_ok_for_state,
-            F.concat(F.lit("License number doesn't match state format. Got: "), raw)),
-        _iw((clean != "") & state.isNull() & ~generic_ok,
-            F.concat(F.lit("Invalid US license format. Got: "), raw)),
-        _iw(dob.isNotNull() & (age < min_age_for_state),
-            F.concat(F.lit("Person is "), age.cast("string"),
-                     F.lit(" years old. Below state minimum driving age"))),
-        _iw(exp.isNotNull() & (exp < run_date),
-            F.concat(F.lit("License expired "), (-days).cast("string"), F.lit(" days ago"))),
-    ]
-    warnings = [
-        _iw((clean != "") & state.isNull() & generic_ok,
-            "Could not determine specific state. Using generic US format validation."),
-        _iw((clean != "") & (last_name != "") & letter_state & letter.rlike("[A-Z]")
-            & (letter != F.upper(F.substring(last_name, 1, 1))),
-            F.concat(F.lit("License first letter '"), letter,
-                     F.lit("' may not match last name initial"))),
-        _iw(dob.isNotNull() & (age >= min_age_for_state) & (age < 18),
-            F.concat(F.lit("Person is "), age.cast("string"),
-                     F.lit(". May have restricted license (graduated licensing)"))),
-        _iw(exp.isNotNull() & (exp >= run_date) & (days < 30),
-            F.concat(F.lit("License expires in "), days.cast("string"), F.lit(" days"))),
-        _iw(has_validity & state.isNotNull()
-            & (validity > validity_for_state.cast("double") + 2),
-            "Validity period exceeds typical state license term"),
-    ]
-    return _result(
-        "us_drivers_license", issues, warnings,
-        "US Driver's License validation failed",
-        "US Driver's License validation passed with warnings",
-        "US Driver's License validation passed",
+    table = _us_state_table()
+    by_addr = F.try_element_at(
+        F.filter(
+            table,
+            lambda s: F.exists(s["indicators"], lambda i: address.contains(i)),
+        ),
+        F.lit(1),
     )
+    by_fmt = F.try_element_at(
+        F.filter(table, lambda s: F.regexp_like(clean, s["fmt"])), F.lit(1)
+    )
+    # Bind the resolved state row once; everything below references the
+    # lambda variable (tree appears once, evaluated once per row).
+    resolved = F.coalesce(by_addr, by_fmt)
+
+    def build(st: Column) -> Column:
+        state = st["key"]
+        has_state = state.isNotNull()
+        fmt_ok_for_state = F.when(
+            has_state, F.regexp_like(clean, st["fmt"])
+        ).otherwise(F.lit(False))
+        min_age_for_state = F.coalesce(st["min_age"], F.lit(16))
+        validity_for_state = st["validity_years"]
+        letter_state = F.coalesce(st["letter_check"], F.lit(False))
+
+        generic_ok = clean.rlike(r"^[A-Z0-9]{6,16}$")
+        last_name = _last_name_param(F.lit("field_first"), prefix)
+        letter = F.substring(clean, 1, 1)
+
+        dob, issue_d, exp = _dates()
+        age = _age_expr(run_date, dob)
+        days = F.datediff(exp, run_date)
+        validity = F.datediff(exp, issue_d) / 365.25
+        has_validity = issue_d.isNotNull() & exp.isNotNull()
+
+        issues = [
+            _iw(clean == "", "Missing license number"),
+            _iw((clean != "") & has_state & ~fmt_ok_for_state,
+                F.concat(F.lit("License number doesn't match state format. Got: "), raw)),
+            _iw((clean != "") & ~has_state & ~generic_ok,
+                F.concat(F.lit("Invalid US license format. Got: "), raw)),
+            _iw(dob.isNotNull() & (age < min_age_for_state),
+                F.concat(F.lit("Person is "), age.cast("string"),
+                         F.lit(" years old. Below state minimum driving age"))),
+            _iw(exp.isNotNull() & (exp < run_date),
+                F.concat(F.lit("License expired "), (-days).cast("string"), F.lit(" days ago"))),
+        ]
+        warnings = [
+            _iw((clean != "") & ~has_state & generic_ok,
+                "Could not determine specific state. Using generic US format validation."),
+            _iw((clean != "") & (last_name != "") & letter_state & letter.rlike("[A-Z]")
+                & (letter != F.upper(F.substring(last_name, 1, 1))),
+                F.concat(F.lit("License first letter '"), letter,
+                         F.lit("' may not match last name initial"))),
+            _iw(dob.isNotNull() & (age >= min_age_for_state) & (age < 18),
+                F.concat(F.lit("Person is "), age.cast("string"),
+                         F.lit(". May have restricted license (graduated licensing)"))),
+            _iw(exp.isNotNull() & (exp >= run_date) & (days < 30),
+                F.concat(F.lit("License expires in "), days.cast("string"), F.lit(" days"))),
+            _iw(has_validity & has_state
+                & (validity > validity_for_state.cast("double") + 2),
+                "Validity period exceeds typical state license term"),
+        ]
+        return _result(
+            "us_drivers_license", issues, warnings,
+            "US Driver's License validation failed",
+            "US Driver's License validation passed with warnings",
+            "US Driver's License validation passed",
+        )
+
+    # resolved may be NULL (no state detected) — transform over a
+    # 1-element array still binds it once; build() handles NULL fields.
+    return F.try_element_at(F.transform(F.array(resolved), build), F.lit(1))
 
 
 # ------------------------------------------------------------- dispatch
 
 
 def type_specific_validator(doc_type_enum: Column, run_date: Column, prefix: str = "") -> Column:
-    """The 36-entry dispatch map (validation_service.py:129-239) as a
-    when-chain: exactly one type-specific result per document, NULL when
-    the type has no validator (e.g. unknown)."""
-    chain = None
-
-    def add(cond: Column, result: Column):  # noqa: ANN001
-        nonlocal chain
-        chain = F.when(cond, result) if chain is None else chain.when(cond, result)
-
-    for dtype, cfg in DL_CONFIGS.items():
-        add(doc_type_enum == dtype, dl_validator(cfg, run_date, prefix))
-    add(doc_type_enum == "ontario_health_card",
-        ontario_health_card_validator(run_date, prefix))
-    add(doc_type_enum == "canadian_passport", canadian_passport_validator(run_date, prefix))
-    for dtype, cfg in PASSPORT_CONFIGS.items():
-        add(doc_type_enum == dtype, passport_validator(cfg, run_date, prefix))
-    add(doc_type_enum == "generic_passport", generic_passport_validator(run_date, prefix))
-    add(
-        doc_type_enum.isin(
-            "ontario_photo_card", "bc_photo_id", "alberta_photo_id", "generic_photo_id"
-        ),
-        generic_photo_id_validator(run_date, prefix),
+    """The 36-entry dispatch map (validation_service.py:129-239): the DL
+    and passport families resolve their config row by name from literal
+    config arrays (one copy of each family's logic in the plan); the six
+    bespoke validators dispatch on the enum. NULL when the type has no
+    validator (e.g. unknown)."""
+    dl = _pick(
+        F.filter(_dl_cfg_array(), lambda c: c["name"] == doc_type_enum),
+        lambda c: _dl_result(c, run_date, prefix),
     )
-    add(doc_type_enum == "canada_pr_card", canada_pr_card_validator(run_date, prefix))
-    add(doc_type_enum == "us_drivers_license", us_drivers_license_validator(run_date, prefix))
-    return chain.otherwise(F.lit(None))
+    pp = _pick(
+        F.filter(_pp_cfg_array(), lambda c: c["name"] == doc_type_enum),
+        lambda c: _pp_result(c, run_date, prefix),
+    )
+    return F.coalesce(
+        dl,
+        pp,
+        F.when(doc_type_enum == "ontario_health_card",
+               ontario_health_card_validator(run_date, prefix)),
+        F.when(doc_type_enum == "canadian_passport",
+               canadian_passport_validator(run_date, prefix)),
+        F.when(doc_type_enum == "generic_passport",
+               generic_passport_validator(run_date, prefix)),
+        F.when(
+            doc_type_enum.isin(
+                "ontario_photo_card", "bc_photo_id", "alberta_photo_id", "generic_photo_id"
+            ),
+            generic_photo_id_validator(run_date, prefix),
+        ),
+        F.when(doc_type_enum == "canada_pr_card",
+               canada_pr_card_validator(run_date, prefix)),
+        F.when(doc_type_enum == "us_drivers_license",
+               us_drivers_license_validator(run_date, prefix)),
+    )
 
 
 def doc_type_enum_expr(document_type: Column) -> Column:
@@ -1178,6 +1460,19 @@ def validation_results_expr(
     )
 
 
+def _round_half_even_2(x: Column) -> Column:
+    """round(x, 2) with Python's round-half-to-even tie behavior (the
+    reference uses round(), validation_service.py:411; Spark's F.round is
+    HALF_UP, which diverges on exact ties like 0.125 -> 0.13 vs 0.12)."""
+    scaled = x * 100
+    fl = F.floor(scaled)
+    tie = (scaled - fl) == 0.5
+    hundredths = F.when(
+        tie, F.when(fl % 2 == 0, fl).otherwise(fl + 1)
+    ).otherwise(F.round(scaled, 0))
+    return hundredths / 100
+
+
 def validation_summary_expr(results: Column) -> Column:
     """V-agg (validation_service.py:390-428): score =
     (passed + 0.5*warnings) / active; FAILED > WARNING > PASSED > SKIPPED."""
@@ -1190,7 +1485,7 @@ def validation_summary_expr(results: Column) -> Column:
     active = total - skipped
     score = F.when(
         active > 0,
-        F.round((passed + warnings * 0.5) / active.cast("double"), 2),
+        _round_half_even_2((passed + warnings * 0.5) / active.cast("double")),
     ).otherwise(F.lit(0.0))
     overall = (
         F.when(failed > 0, "failed")
