@@ -36,13 +36,21 @@ def test_audit_and_resume(spark, corpus, tmp_path):
     assert remaining.count() == pages.count() - 200
 
     m2 = run_extraction_job(pages, out, audit, "run-2", spark, num_partitions=4)
-    assert m2["urls"] == pages.count()  # no duplicates after resume
+    # metrics are PER RUN (the resumed increment), never cumulative
+    assert m2["urls"] == pages.count() - 200
+
+    committed = spark.read.parquet(out)
+    assert committed.count() == pages.count()  # no duplicates after resume
+    assert committed.select("url").distinct().count() == pages.count()
 
     audit_df = spark.read.parquet(audit).toPandas()
     assert set(audit_df["run_id"]) == {"run-1", "run-2"}
     r1 = audit_df[audit_df["run_id"] == "run-1"]
     assert r1["url_count"].sum() == 200
     assert (r1["bytes_in"] >= 0).all()
+    # run-2's audit covers ONLY run-2's increment
+    r2 = audit_df[audit_df["run_id"] == "run-2"]
+    assert r2["url_count"].sum() == pages.count() - 200
 
     # third run is a no-op (fully idempotent)
     assert resume_filter(pages, out, spark).count() == 0
@@ -111,3 +119,62 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert bf.iloc[0]["vec_id"] == 0 and bf.iloc[0]["cosine"] == pytest.approx(1.0)
     assert 0 in set(ann["vec_id"])  # query vector is in its own bucket
     assert (ann["cosine"] <= bf["cosine"].max() + 1e-9).all()
+
+
+def test_posting_list_cap_bounds_hot_shingle(spark):
+    """A shingle shared by every document must not generate quadratic
+    candidate pairs when the df-cap is on (dedup.ngram_jaccard_pairs
+    max_doc_freq)."""
+    from webxtract.dedup import ngram_jaccard_pairs
+
+    # 40 docs: all share the hot prefix "common boiler plate words";
+    # docs 0/1 additionally share a long rare tail (true near-dups).
+    rows = []
+    for i in range(40):
+        tail = "alpha beta gamma delta epsilon zeta" if i < 2 else f"unique{i} " * 6
+        rows.append((i, f"common boiler plate words {tail}"))
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, shingle_k=3, threshold=0.5, max_doc_freq=5)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(0, 1)}  # only the true near-dup survives
+
+    uncapped = ngram_jaccard_pairs(df, shingle_k=3, threshold=0.0, max_doc_freq=None)
+    # without the cap the hot shingles produce all-pairs candidates
+    assert uncapped.count() == 40 * 39 / 2
+
+
+def test_near_dup_bucket_cap(spark):
+    """A degenerate hot LSH bucket (many identical vectors) is dropped
+    by max_bucket_size instead of going quadratic."""
+    from webxtract.similarity import near_dup_pairs
+
+    dim = 8
+    hot = [1.0] * dim
+    rows = [(i, hot) for i in range(20)]
+    rows += [(100, [1.0, -1.0] * 4), (101, [1.0, -1.0] * 4)]  # a small true pair
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+    capped = near_dup_pairs(
+        df, threshold=0.99, dim=dim, planes_per_band=4, n_bands=2,
+        max_bucket_size=5,
+    )
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # hot bucket dropped, small bucket kept
+
+    uncapped = near_dup_pairs(
+        df, threshold=0.99, dim=dim, planes_per_band=4, n_bands=2,
+    )
+    assert uncapped.count() == 20 * 19 / 2 + 1
+
+
+def test_minhash_banding_finds_planted_near_dup(spark):
+    """End-to-end MinHash-LSH sanity on planted near-duplicates."""
+    from webxtract.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base + " extra"), (2, "completely different words here now")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.8
+    assert all(2 not in pair for pair in got)

@@ -68,8 +68,13 @@ def audit_rows(extracted: DataFrame, run_id: str) -> DataFrame:
 def resume_filter(pages: DataFrame, output_path: str, spark: SparkSession) -> DataFrame:
     """Idempotent resume: LEFT ANTI join against already-committed urls
     so a re-run only processes the remainder (SURVEY.md §4.3.3). The
-    done-set is a broadcast-size projection of just the url column
-    (column-pruned scan of the output table)."""
+    done-set is a column-pruned scan of just the url column; the anti
+    join is a full shuffle join on url at scale (at 10^12 committed
+    urls the done-set is NOT broadcastable). Production variants that
+    avoid even that shuffle: bucket both tables by url-hash and use a
+    storage-partitioned join, or — on Iceberg — read only the snapshot
+    range committed since the last successful run (incremental scan)
+    so the anti join's right side is one run's urls, not the history."""
     if not _exists(output_path, spark):
         return pages
     done = spark.read.parquet(output_path).select("url")
@@ -85,24 +90,39 @@ def run_extraction_job(
     num_partitions: int | None = None,
 ) -> dict:
     """The production job shape: resume -> salt/partition -> extract ->
-    write output + audit. Returns job metrics."""
+    write output (+ run_id lineage column, hive-partitioned by run) ->
+    audit THIS run only. Returns this run's metrics.
+
+    Run-level stats come from ``df.observe`` on the write itself — zero
+    extra passes (SURVEY.md §2.1-S5). The per-partition audit rows are
+    computed from a run_id-pruned read-back of just-committed files
+    (never a rescan of the full history: at 10^12 accumulated urls a
+    full-table re-aggregation per incremental run is a non-starter)."""
+    from pyspark.sql import Observation
+
     from webxtract.ops.extract import extract_pages
 
     todo = resume_filter(pages, output_path, spark)
     if num_partitions:
         todo = partition_by_url(todo, num_partitions)
-    extracted = extract_pages(todo)
-    extracted.write.mode("append").parquet(output_path)
+    extracted = extract_pages(todo).withColumn("run_id", F.lit(run_id))
 
-    committed = spark.read.parquet(output_path)
-    audit = audit_rows(committed, run_id)
+    obs = Observation(f"webxtract-{run_id}")
+    observed = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("urls"),
+        F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("bytes_in"),
+        F.coalesce(F.sum(F.col("parse_failure").cast("long")), F.lit(0)).alias(
+            "failures"
+        ),
+    )
+    observed.write.mode("append").partitionBy("run_id").parquet(output_path)
+    stats = obs.get
+
+    this_run = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
+    audit = audit_rows(this_run.drop("run_id"), run_id)
     audit.write.mode("append").parquet(audit_path)
 
-    stats = committed.agg(
-        F.count(F.lit(1)).alias("urls"),
-        F.sum("n_bytes").alias("bytes_in"),
-        F.sum(F.col("parse_failure").cast("long")).alias("failures"),
-    ).collect()[0]
     return {
         "run_id": run_id,
         "urls": stats["urls"],

@@ -335,7 +335,7 @@ def q_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", textops.word_shingles_expr(F.col("text"), 3).alias("sh")
-    )
+    ).filter(F.size("sh") > 0)  # <3-token docs: oracle excludes them too
     a = sh.alias("a")
     b = sh.alias("b")
     joined = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
@@ -349,14 +349,16 @@ def q_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only check: the banding join is
-    set-semantics SQL-expressible but impractical as a single oracle)."""
+    """MinHash-LSH near-dup pairs, exactly reproduced by a DuckDB oracle
+    (shingle md5-hashes -> 12 permutations -> 4 banded buckets ->
+    bucket-local candidates -> exact Jaccard)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.minhash_lsh_pairs(d, threshold=0.5).orderBy("a", "b")
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint per document (rows-only)."""
+    """SimHash fingerprint per document (md5 token hashes, 32 bit-slots,
+    one pass) — exact DuckDB twin."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select(
         "doc_id", dedup.simhash_expr(F.col("text")).alias("simhash")
@@ -386,13 +388,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-10 (rows-only: recall<1 by
-    construction, checked against brute force in pytest instead)."""
+    """Hyperplane-LSH bucketed ANN top-10. The deterministic plane
+    family makes the bucket computation SQL-expressible, so the DuckDB
+    oracle reproduces the exact candidate set + re-rank (recall vs
+    brute force is additionally asserted in pytest)."""
     q = _query_vec(spark, sf_dir)
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), q, k=10)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs inside LSH buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH.
+
+    The driver's embeddings table has no true near-duplicates at 0.9,
+    so the query plants them deterministically: each vec_id < 300 is
+    unioned with an exact copy at vec_id + 100000 — every (i, i+100000)
+    pair shares all band buckets with cosine 1.0, making the check
+    non-vacuous. The oracle reproduces the derivation AND the full LSH
+    pipeline in SQL."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return similarity.near_dup_pairs(e, threshold=0.9, dim=64).orderBy("a", "b")
+    planted = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    )
+    both = e.select("vec_id", "embedding").unionByName(planted)
+    return similarity.near_dup_pairs(
+        both, threshold=0.9, dim=64, planes_per_band=16, n_bands=2
+    ).orderBy("a", "b")

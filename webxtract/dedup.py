@@ -4,19 +4,27 @@ Five strategies, all shuffle-conscious:
 
 - exact:   md5(text) groupBy — one shuffle on the hash, map-side
            partial aggregation for free.
-- minhash: word-shingles -> K polynomial-hash minhashes -> B bands;
-           candidate pairs join only inside (band, band_hash) buckets
-           (classic MinHash-LSH), so the join is band-bucket-local
-           instead of all-pairs.
-- simhash: 32-bit sign-of-weighted-bit-sums fingerprint; near-dups =
-           equal fingerprints (or equal on rotated bands for 1-2 bit
-           tolerance).
-- ngram-jaccard: exact Jaccard over word shingles for candidate pairs.
+- minhash: word-shingles -> K minhashes (a*h+b mod P permutations over
+           a 60-bit md5-derived shingle hash) -> B bands; candidate
+           pairs join only inside (band, band_hash) buckets (classic
+           MinHash-LSH), so the join is band-bucket-local instead of
+           all-pairs.
+- simhash: 32-bit sign-of-weighted-bit-sums fingerprint computed in ONE
+           aggregate pass (per-token hash once, 32 bit-slots
+           accumulated via zip_with) — near-dups = equal fingerprints.
+- ngram-jaccard: exact Jaccard over word shingles for candidate pairs,
+           with a document-frequency cap on posting lists so a hot
+           shingle cannot go quadratic.
 - embedding cosine near-dup: see webxtract.similarity.
 
-All hash functions are engine-neutral polynomial hashes (h*31+cp mod
-2^31-1) so DuckDB oracles can reproduce results bit-for-bit — no
-xxhash64/murmur dependence.
+Hashing is ENGINE-NEUTRAL *and* JVM-fast: every shingle/token hash is
+the low 60 bits of md5 (one native call — Spark
+``conv(substr(md5(s),1,15),16,10)``, DuckDB
+``('0x' || substr(md5(s),1,15))::BIGINT``), reduced mod P = 2^31-1
+where a permutation needs a bounded domain. Round 1 used a
+per-character interpreted polynomial hash for oracle-neutrality; it
+cost 42 ms/doc (212.7s for 5k docs). md5 keeps the DuckDB oracles exact
+without per-character lambdas.
 """
 
 from __future__ import annotations
@@ -24,10 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from webxtract.textops import FINGERPRINT_MOD, fingerprint_expr, word_shingles_expr
+from webxtract.exprs import bind_once
+from webxtract.textops import FINGERPRINT_MOD, stable_hash60_expr, word_shingles_expr
 
 # (a, b) parameters for the K minhash permutations h_i(x) = (a*x+b) mod P.
-# Fixed small primes — deterministic across engines.
+# Fixed small primes — deterministic across engines. x < P = 2^31-1 and
+# a ~ 10^6 keep a*x+b < 2^52: no 64-bit overflow in either engine.
 MINHASH_PARAMS = [
     (1_000_003, 12_345), (999_983, 54_321), (1_000_033, 7_777),
     (1_000_037, 1_234_567), (1_000_039, 999), (1_000_081, 31_337),
@@ -37,36 +47,37 @@ MINHASH_PARAMS = [
 MINHASH_K = len(MINHASH_PARAMS)
 MINHASH_BANDS = 4  # 4 bands x 3 rows
 
+SIMHASH_BITS = 32
+
 
 def shingle_hashes_expr(text: Column, k: int = 2) -> Column:
-    """Distinct word-shingle polynomial hashes (bigint array)."""
+    """Distinct word-shingle hashes (bigint array, values in [0, 2^31-1))."""
     return F.array_distinct(
-        F.transform(word_shingles_expr(text, k), fingerprint_expr_str)
+        F.transform(
+            word_shingles_expr(text, k),
+            lambda s: stable_hash60_expr(s) % FINGERPRINT_MOD,
+        )
     )
-
-
-def fingerprint_expr_str(s: Column) -> Column:
-    """Polynomial hash of one string value (same recurrence as
-    textops.fingerprint_expr, applied inside a transform lambda)."""
-    chars = F.split(s, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
-    )
-
-
-def _perm(a: int, b: int):
-    return lambda h: (h * a + b) % FINGERPRINT_MOD
 
 
 def minhash_expr(text: Column, k: int = 2) -> Column:
-    """Array of MINHASH_K minhash values over word-k-shingles."""
-    hashes = shingle_hashes_expr(text, k)
-    sigs = [
-        F.array_min(F.transform(hashes, _perm(a, b))) for a, b in MINHASH_PARAMS
-    ]
-    return F.array(*sigs)
+    """Array of MINHASH_K minhash values over word-k-shingles. The
+    shingle-hash array is bound once; each permutation is one
+    array_min(transform(...)) over it."""
+    def _perm(a: int, b: int):
+        # NB: pyspark derives lambda arity from the Python signature, so
+        # constants must be closed over, never default parameters.
+        return lambda h: (h * a + b) % FINGERPRINT_MOD
+
+    return bind_once(
+        shingle_hashes_expr(text, k),
+        lambda hs: F.array(
+            *[
+                F.array_min(F.transform(hs, _perm(a, b)))
+                for a, b in MINHASH_PARAMS
+            ]
+        ),
+    )
 
 
 def band_hashes_expr(minhashes: Column) -> Column:
@@ -81,26 +92,33 @@ def band_hashes_expr(minhashes: Column) -> Column:
     return F.array(*bands)
 
 
-def simhash_expr(text: Column, bits: int = 32) -> Column:
-    """SimHash: per token hash, sum +-1 per bit position, sign -> bit."""
-    tok_hashes = F.transform(
-        F.split(F.trim(text), r"\s+"), fingerprint_expr_str
-    )
-    def _bit_merge(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash: per-token 60-bit hash (low ``bits`` used), one aggregate
+    pass accumulating a per-bit +/-1 slot array, sign -> bit.
 
-    bit_cols = []
-    for b in range(bits):
-        s = F.aggregate(tok_hashes, F.lit(0).cast("bigint"), _bit_merge(b))
-        bit_cols.append(
-            F.when(s > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    Round-1 shape was 32 separate aggregate passes, each re-splitting
+    the text and re-hashing every token per character; this is one
+    tokenize + one hash per token + one pass."""
+    tok_hashes = F.transform(
+        F.split(F.trim(text), r"\s+"), lambda t: stable_hash60_expr(t)
+    )
+    pow2 = F.array(*[F.lit(2 ** b).cast("bigint") for b in range(bits)])
+    sums = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -129,12 +147,41 @@ def minhash_lsh_pairs(
     Scale shape: explode to (band, band_hash) keys -> shuffle on the
     bucket key only -> self-join inside buckets (tiny groups) -> exact
     verify. No all-pairs shuffle; skewed buckets are split by AQE.
+
+    The input is hash-repartitioned on the id first: signature hashing
+    is the CPU-heavy stage and must use every core even when the scan
+    produced few splits (a filtered slice of one parquet file lands in
+    one partition otherwise); at production scale the scan already
+    yields thousands of splits and this exchange is a no-op cost-wise
+    (it moves raw text once, before any per-candidate amplification).
     """
-    sigs = df.select(
+    df = df.repartition(F.col(id_col))
+    sh = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes_expr(F.col(text_col), shingle_k).alias("shingles"),
-        minhash_expr(F.col(text_col), shingle_k).alias("mh"),
-    ).withColumn("bands", band_hashes_expr(F.col("mh")))
+    )
+    # Signatures via explode + codegen'd min-aggregation instead of
+    # 12 interpreted array passes: each permutation is plain JVM
+    # arithmetic inside whole-stage codegen, the groupBy gets map-side
+    # partial aggregation for free, and the plan tree stays tiny (the
+    # HOF formulation's large tree made Catalyst re-optimization itself
+    # a per-query cost).
+    posting = sh.select("id", F.explode("shingles").alias("h"))
+    P = FINGERPRINT_MOD
+    mins = posting.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * a + b) % P).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_cols = []
+    for bnd in range(MINHASH_BANDS):
+        acc = F.lit(0).cast("bigint")
+        for r in range(rows_per_band):
+            acc = (acc * 1_000_003 + F.col(f"m{bnd * rows_per_band + r}")) % P
+        band_cols.append(acc)
+    sigs = mins.select("id", F.array(*band_cols).alias("bands"))
 
     # candidate generation carries ONLY (id, band, band_hash) through the
     # bucket shuffle — the shingle payloads are joined back after the
@@ -154,7 +201,6 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    sh = sigs.select("id", "shingles")
     joined = (
         cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("shingles", "sa"), "a")
         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("shingles", "sb"), "b")
@@ -187,16 +233,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard between candidate pairs found by sharing at
     least one shingle hash (inverted-index join on shingle, the
     suffix-array-free exact method). Quadratic only within a posting
-    list, never globally."""
+    list — and posting lists are CAPPED: shingles appearing in more
+    than ``max_doc_freq`` documents are dropped from candidate
+    generation (a df-cap "stop shingle" rule; such shingles are
+    boilerplate and near-dup pairs sharing ONLY them are below any
+    useful threshold anyway). Without the cap one hot shingle at
+    10^12 docs makes a quadratic posting-list self-join."""
+    df = df.repartition(F.col(id_col))
     sh = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes_expr(F.col(text_col), shingle_k).alias("shingles"),
     )
     posting = sh.select("id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        doc_freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = doc_freq.filter(F.col("df") <= max_doc_freq).select("shingle")
+        posting = posting.join(keep, "shingle")
     cand = (
         posting.alias("l")
         .join(

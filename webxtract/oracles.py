@@ -253,8 +253,11 @@ FROM documents
 
 ORACLES["lang_id"] = _lang_sql()
 
+# md5-derived 60-bit engine-neutral hash (webxtract.textops.stable_hash60_expr)
+_H60 = "('0x' || substr(md5({s}),1,15))::BIGINT"
+
 ORACLES["fingerprint"] = f"""
-SELECT doc_id, {_POLY_HASH.format(s='text')} AS fingerprint
+SELECT doc_id, {_H60.format(s='text')} AS fingerprint
 FROM documents
 """
 
@@ -286,7 +289,169 @@ SELECT
 FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
 """
 
+def _minhash_sql() -> str:
+    """Exact twin of dedup.minhash_lsh_pairs on doc_id<200, k=2,
+    threshold 0.5: md5 shingle hashes -> 12 (a*h+b)%P permutations ->
+    4 banded buckets -> bucket-local candidate pairs -> exact Jaccard."""
+    from webxtract.dedup import MINHASH_PARAMS
+
+    h60 = _H60.format(s="s")
+    perms = ",\n    ".join(
+        f"list_min(list_transform(hashes, h -> (h*{a}+{b})%2147483647))"
+        for a, b in MINHASH_PARAMS
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+                                 i -> toks[i] || ' ' || toks[i+1])),
+    s -> {h60} % 2147483647)) AS hashes
+  FROM t
+),
+mh AS (SELECT doc_id, [{perms}] AS mh FROM sh),
+bands AS (
+  SELECT doc_id, u.b AS band,
+    ((mh[3*u.b+1] * 1000003 + mh[3*u.b+2]) % 2147483647
+      * 1000003 + mh[3*u.b+3]) % 2147483647 AS band_hash
+  FROM mh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) u
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)
+SELECT cand.a, cand.b,
+  round(len(list_intersect(sa.hashes, sb.hashes))::DOUBLE /
+        (len(sa.hashes) + len(sb.hashes)
+         - len(list_intersect(sa.hashes, sb.hashes))), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.a
+JOIN sh sb ON sb.doc_id = cand.b
+WHERE round(len(list_intersect(sa.hashes, sb.hashes))::DOUBLE /
+        (len(sa.hashes) + len(sb.hashes)
+         - len(list_intersect(sa.hashes, sb.hashes))), 6) >= 0.5
+ORDER BY a, b
+"""
+
+
+ORACLES["minhash_lsh_pairs"] = _minhash_sql()
+
+ORACLES["simhash_groups"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                   tk -> {_H60.format(s='tk')}) AS th
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  (list_sum(list_transform(range(0, 32), b ->
+    CASE WHEN list_sum(list_transform(th,
+           h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
+         THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS simhash
+FROM t
+"""
+
+
 # ------------------------------------------------------------ similarity
+
+
+def _proj_sql(vec: str, h: str) -> str:
+    """Signed projection of a 64-dim embedding onto deterministic plane
+    ``h`` (webxtract.similarity._plane_weight)."""
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> "
+        f"CAST({vec}[i] AS DOUBLE) * ((({h}*1009 + (i-1)*9176) % 2000)/1000.0 - 1.0)))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, 65), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _ann_sql() -> str:
+    """Exact twin of similarity.lsh_topk: 8-plane bucket of the query
+    vector (vec_id=0), same-bucket candidates, exact cosine re-rank."""
+    bucket = (
+        "list_sum(list_transform(range(0, 8), h -> CASE WHEN "
+        + _proj_sql("{v}", "h")
+        + " >= 0 THEN 1 << h ELSE 0 END))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+bq AS (SELECT {bucket.format(v='qv')} AS qb, qv FROM q),
+be AS (
+  SELECT e.vec_id, e.embedding,
+         {bucket.format(v='e.embedding')} AS b
+  FROM embeddings e
+)
+SELECT be.vec_id, round({_cos_sql('be.embedding', 'bq.qv')}, 6) AS cosine
+FROM be, bq WHERE be.b = bq.qb
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+ORACLES["ann_lsh_topk"] = _ann_sql()
+
+
+def _near_dup_sql() -> str:
+    """Exact twin of the planted-copy embedding_near_dup query: union
+    vec_id<300 with copies at +100000, bucket per 16-plane band (2
+    bands), same-bucket candidate pairs, exact cosine >= 0.9."""
+    def band(b: int, vec: str) -> str:
+        return (
+            f"list_sum(list_transform(range(0, 16), j -> CASE WHEN "
+            + _proj_sql(vec, f"({b}*16 + j)")
+            + " >= 0 THEN 1 << j ELSE 0 END))"
+        )
+
+    return f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+unioned AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL SELECT vec_id + 100000, embedding FROM base
+),
+bk AS (
+  SELECT vec_id, embedding,
+         {band(0, 'embedding')} AS b0,
+         {band(1, 'embedding')} AS b1
+  FROM unioned
+),
+posting AS (
+  SELECT vec_id, 0 AS band, b0 AS bucket FROM bk
+  UNION ALL SELECT vec_id, 1, b1 FROM bk
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM posting l JOIN posting r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT cand.a, cand.b,
+       round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+FROM cand
+JOIN bk ea ON ea.vec_id = cand.a
+JOIN bk eb ON eb.vec_id = cand.b
+WHERE round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= 0.9
+ORDER BY a, b
+"""
+
+
+ORACLES["embedding_near_dup"] = _near_dup_sql()
 
 ORACLES["cosine_topk"] = """
 WITH q AS (

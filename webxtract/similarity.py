@@ -117,31 +117,83 @@ def lsh_topk(
     )
 
 
+def band_bucket_expr(
+    vec: Column, dim: int, band: int, planes_per_band: int
+) -> Column:
+    """Bucket id for one band: planes band*P .. band*P+P-1 of the shared
+    deterministic plane family."""
+    out = F.lit(0)
+    for j in range(planes_per_band):
+        h = band * planes_per_band + j
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(_plane_weight(h, i)) for i in range(dim)]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return out
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_planes: int = N_PLANES,
+    planes_per_band: int = 16,
+    n_bands: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucket by hyperplane
-    signature, all-pairs only inside buckets, exact cosine verify."""
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    per band, bucket by a ``planes_per_band``-bit signed-projection
+    signature; candidates are pairs sharing ANY band's bucket; exact
+    cosine verifies.
+
+    Scale shape (the round-1 fix): 16 planes/band gives 65,536 buckets
+    per band (vs 256), multiple bands restore recall, the candidate
+    shuffle carries only (id, band, bucket) — vectors are joined back
+    after pair dedup — and ``max_bucket_size`` drops degenerate hot
+    buckets outright (a bucket holding more vectors than the cap is a
+    near-constant region; all-pairs inside it is quadratic poison at
+    10^12 rows, and its pairs are recoverable by raising the cap or
+    adding planes)."""
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        bucket_expr(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.array(
+            *[
+                band_bucket_expr(F.col(vec_col), dim, band, planes_per_band)
+                for band in range(n_bands)
+            ]
+        ).alias("buckets"),
     )
-    pairs = (
-        b.alias("l")
+    posting = b.select("id", F.posexplode("buckets").alias("band", "bucket"))
+    if max_bucket_size is not None:
+        sizes = posting.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+        keep = sizes.filter(F.col("n") <= max_bucket_size).select("band", "bucket")
+        posting = posting.join(keep, ["band", "bucket"])
+    cand = (
+        posting.alias("l")
         .join(
-            b.alias("r"),
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+            posting.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.round(cosine_expr(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    vecs = b.select("id", "v")
+    joined = (
+        cand.join(vecs.withColumnRenamed("id", "a").withColumnRenamed("v", "va"), "a")
+        .join(vecs.withColumnRenamed("id", "b").withColumnRenamed("v", "vb"), "b")
+    )
+    return joined.select(
+        "a",
+        "b",
+        F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

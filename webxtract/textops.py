@@ -84,10 +84,32 @@ def lang_id_expr(text: Column) -> Column:
     return F.when(best > 0, chain).otherwise(F.lit("unknown"))
 
 
+def stable_hash60_expr(s: Column) -> Column:
+    """Engine-neutral 60-bit hash: low 15 hex chars of md5, one native
+    call per value on both engines — Spark
+    ``conv(substr(md5(s),1,15),16,10)``, DuckDB
+    ``('0x' || substr(md5(s),1,15))::BIGINT``. This is the production
+    hash for dedup/fingerprint paths (the round-1 per-character
+    polynomial hash was interpreted per code point — 42 ms/doc);
+    xxhash64 would be marginally faster but is not reproducible in the
+    DuckDB oracle."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
 def fingerprint_expr(text: Column) -> Column:
-    """Polynomial rolling hash over code points, h = (h*31 + cp) mod
-    (2^31-1) — a deterministic document fingerprint computable
-    identically in Spark and DuckDB (no engine-specific hash)."""
+    """Deterministic 60-bit document fingerprint (md5-derived), one
+    native hash call per document on both engines — the production
+    fingerprint path. (Round 1 used a per-code-point polynomial rolling
+    hash here; engine-neutral but interpreted per character — replaced
+    per the scale review.)"""
+    return stable_hash60_expr(text)
+
+
+def rolling_fingerprint_expr(text: Column) -> Column:
+    """The round-1 polynomial rolling hash, h = (h*31 + cp) mod (2^31-1)
+    over code points — kept for incremental/rolling use cases where a
+    recurrence (not a block hash) is the point. Per-character
+    interpreted: oracle slices only, never the 100 TB hot path."""
     chars = F.split(text, "")
     return F.aggregate(
         chars,
