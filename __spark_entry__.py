@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
         "extract_pdf_roundtrip": wrap(c.q_extract_pdf_roundtrip),
         "page_concat_e5": wrap(c.q_page_concat_e5),
+        "pdf_page_explode": wrap(c.q_pdf_page_explode),
+        "ocr_fallback_e3": wrap(c.q_ocr_fallback_e3),
+        "media_normalize": wrap(c.q_media_normalize),
         # field layer (E6/E7) + detection (D1-D8) + fake (F1-F6)
         "field_extraction_e6": wrap(c.q_field_extraction_e6),
         "doc_type_cascade": wrap(c.q_doc_type_cascade),

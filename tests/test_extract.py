@@ -112,3 +112,82 @@ def test_no_shuffle_in_extraction_plan(spark, corpus):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan
+
+
+def test_ocr_fallback_and_scan_marker(spark):
+    """E3/E4: scan-only pages are invisible to the native text layer and
+    recovered by the forced-OCR second pass; mixed pages stay native."""
+    from webxtract.ops.extract import extract_pages
+
+    scan_pdf = b"%PDF-1.4\n%%PAGE 1\n%%SCAN hello scanned world\n%%PAGE 2\n%%SCAN second page"
+    mixed_pdf = b"%PDF-1.4\n%%PAGE 1\nnative text here\n%%SCAN raster junk"
+    blank_pdf = b"%PDF-1.4\n%%PAGE 1\n   "
+    rows = [
+        ("s1", None, scan_pdf, None, "en"),
+        ("s2", None, mixed_pdf, None, "en"),
+        ("s3", None, blank_pdf, None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {r["url"]: r for r in extract_pages(df).collect()}
+    assert got["s1"]["extracted_text"] == "hello scanned world\n\nsecond page"
+    assert got["s1"]["source_kind"] == "pdf_ocr"
+    assert got["s1"]["parse_failure"] is False
+    assert got["s1"]["avg_confidence"] == 0.8  # OCR-confidence analog
+    # native text wins; raster content stays invisible on the native path
+    assert got["s2"]["extracted_text"] == "native text here"
+    assert got["s2"]["source_kind"] == "pdf"
+    # genuinely empty PDFs still quarantine
+    assert got["s3"]["parse_failure"] is True
+
+
+def test_pdf_page_explode_shape(spark):
+    """S3: one output row per page, deterministic render stub bytes."""
+    from webxtract.ops.rasterize import JPEG_MAGIC, PNG_MAGIC, explode_pdf_pages
+
+    pdf = b"%PDF-1.4\n%%PAGE 1\nalpha\n%%PAGE 2\nbeta\n%%PAGE 3\n   "
+    df = spark.createDataFrame(
+        [("u1", pdf), ("u2", b"not a pdf"), ("u3", None)],
+        schema="url string, html binary",
+    )
+    rows = explode_pdf_pages(df, scale=2.0, fmt="png").collect()
+    assert [(r["url"], r["page_number"]) for r in rows] == [
+        ("u1", 1), ("u1", 2), ("u1", 3)
+    ]
+    by_page = {r["page_number"]: r for r in rows}
+    assert by_page[1]["page_text"] == "alpha"
+    assert by_page[3]["page_text"] == ""  # blank page still renders
+    assert all(r["n_pages"] == 3 for r in rows)
+    assert all(bytes(r["image"]).startswith(PNG_MAGIC) for r in rows)
+    # per-page images are distinct (digest binds page number)
+    assert len({bytes(r["image"]) for r in rows}) == 3
+    assert by_page[1]["width"] == 1224 and by_page[1]["height"] == 1584
+
+    jpeg = explode_pdf_pages(df, scale=1.0, fmt="jpeg").collect()
+    assert all(bytes(r["image"]).startswith(JPEG_MAGIC) for r in jpeg)
+    assert jpeg[0]["width"] == 612
+
+
+def test_media_normalize(spark):
+    """S2: TIFF/BMP convert to PNG (stub), PNG/JPEG pass through, junk
+    gets octet-stream."""
+    from webxtract.multimodal import MAGIC, normalize_media
+
+    rows = [
+        ("bmp", b"BMcontent"),
+        ("tiff", b"II*\x00tiffdata"),
+        ("png", MAGIC["png"] + b"pngdata"),
+        ("jpeg", b"\xff\xd8\xff\xe0jpegdata"),
+        ("junk", b"zzzz"),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, payload binary")
+    got = {r["url"]: r for r in normalize_media(df).collect()}
+    assert got["bmp"]["media_type"] == "image/png"
+    assert bytes(got["bmp"]["payload"]).startswith(MAGIC["png"])
+    assert got["tiff"]["media_type"] == "image/png"
+    assert bytes(got["tiff"]["payload"]).startswith(MAGIC["png"])
+    assert got["png"]["media_type"] == "image/png"
+    assert bytes(got["png"]["payload"]) == MAGIC["png"] + b"pngdata"  # untouched
+    assert got["jpeg"]["media_type"] == "image/jpeg"
+    assert got["junk"]["media_type"] == "application/octet-stream"

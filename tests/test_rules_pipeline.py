@@ -277,3 +277,40 @@ def test_base_validators_skip_semantics(spark):
         "document_format": "skipped",
         "face_matching": "skipped",
     }
+
+
+def test_integrity_result_shape(full):
+    """X2: DocumentIntegrityResult (responses.py:52-56) and the
+    get_summary distillation (claude_integrity_analyzer.py:228-283)
+    are emitted field-for-field."""
+    got, exp = full
+
+    def keys(x):  # Row or dict depending on the pandas conversion
+        return set(x.asDict().keys() if hasattr(x, "asDict") else x.keys())
+
+    row = got.iloc[0]
+    di = row["document_integrity"]
+    assert keys(di) == {"is_valid", "fake_detection", "integrity_score"}
+    assert keys(di["fake_detection"]) == {
+        "is_fake", "confidence", "reasons", "checks_performed"
+    }
+    s = row["integrity_summary"]
+    assert keys(s) == {
+        "is_fraudulent", "confidence", "risk_level",
+        "issues_detected", "recommendation", "summary",
+    }
+    # every flagged doc carries the specimen_document issue struct
+    flagged = got[got["fake_detection"].map(lambda f: bool(f["is_fake"]))]
+    for _, r in flagged.head(5).iterrows():
+        issues = r["integrity_summary"]["issues_detected"]
+        assert len(issues) == 1
+        assert keys(issues[0]) == {"type", "confidence", "findings"}
+        assert issues[0]["type"] == "specimen_document"
+        assert r["integrity_summary"]["recommendation"] == "reject"
+
+    # Verifik disabled-path detail on ON/BC DL results (ontario_dl.py:223-226)
+    for _, r in got.iterrows():
+        for v in r["validation_results"]:
+            if v["validator_name"] in ("ontario_drivers_license", "bc_drivers_license"):
+                details = dict(v["details"]) if v["details"] is not None else {}
+                assert details.get("verifik_api_enabled") == "false"

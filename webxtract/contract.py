@@ -194,6 +194,77 @@ def q_field_extraction_e6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_page_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: all-pages PDF rasterize + explode (flatMap-shaped mapInPandas,
+    one row per page). Two-page synthetic PDFs with statically-known
+    page texts; the render stub's dimensions are scale-deterministic."""
+    from webxtract.ops import rasterize
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("%PDF-1.4\n%%PAGE 1\n"),
+        F.col("text"),
+        F.lit("\n%%PAGE 2\nLANG "),
+        F.upper(F.col("lang")),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(payload, "utf-8").alias("html"),
+    )
+    out = rasterize.explode_pdf_pages(pages, scale=2.0, fmt="png")
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "page_number",
+        "n_pages",
+        "page_text",
+        "width",
+        "height",
+    )
+
+
+def q_ocr_fallback_e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E4: scan-only PDFs (raster %%SCAN content, blank native text
+    layer) must come back through the forced-OCR second pass with the
+    text recovered and source_kind='pdf_ocr'."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit("%PDF-1.4\n%%PAGE 1\n%%SCAN "), F.col("text"))
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(payload, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    return extract_pages(pages).select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "extracted_text",
+        "source_kind",
+        "n_pages",
+    )
+
+
+def q_media_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: magic-byte sniff + normalize (BMP->PNG via the deterministic
+    convert stub; PNG/JPEG passthrough). Payloads derived from document
+    text; compared by hex so the oracle reproduces the bytes exactly."""
+    from webxtract.multimodal import normalize_media
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    payload = (
+        F.when(m == 0, F.concat(F.lit(b"BM"), F.encode(F.col("text"), "utf-8")))
+        .when(m == 1, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), F.encode(F.col("text"), "utf-8")))
+        .otherwise(F.concat(F.lit(b"\xff\xd8\xff\xe0"), F.encode(F.col("text"), "utf-8")))
+    )
+    media = d.select(F.col("doc_id").cast("string").alias("url"), payload.alias("payload"))
+    out = normalize_media(media)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "media_type",
+        F.hex(F.col("payload")).alias("payload_hex"),
+    )
+
+
 # ------------------------------------------------- detection / fake / valid
 
 

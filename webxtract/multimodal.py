@@ -99,6 +99,110 @@ def sniff_media_expr(payload_col: str = "payload"):
     )
 
 
+# ------------------------------------------------- S2: image normalize
+# (reference ocr.py:250-273: sniff real format from magic bytes, convert
+# TIFF/BMP -> PNG, mode -> RGB, pass PNG/JPEG/GIF/WEBP through)
+
+try:  # capability probe — Pillow absent in this sandbox
+    from PIL import Image as _PIL_Image  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover
+    _PIL_Image = None
+    HAVE_PIL = False
+
+_PASSTHROUGH_FORMATS = {"png", "jpeg", "gif", "webp"}
+_CONVERT_FORMATS = {"tiff", "bmp"}
+
+
+def _convert_via_pil(payload: bytes) -> bytes:  # pragma: no cover
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(payload))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _convert_stub(payload: bytes) -> bytes:
+    """Deterministic fake TIFF/BMP->PNG conversion: format-correct PNG
+    magic + a digest of the source bytes (real conversion needs Pillow,
+    absent here — the registry swaps it in when importable)."""
+    import hashlib
+
+    return MAGIC["png"] + b"NORM" + hashlib.sha256(payload).digest()[:16]
+
+
+def normalize_image(payload: bytes, fmt: str) -> tuple[bytes, str]:
+    """One image -> (normalized bytes, media_type): TIFF/BMP convert to
+    PNG (Pillow when available, deterministic stub otherwise);
+    PNG/JPEG/GIF/WEBP pass through with their sniffed media type —
+    exactly the reference's normalize step (ocr.py:250-273)."""
+    if fmt in _CONVERT_FORMATS:
+        if HAVE_PIL:  # pragma: no cover
+            try:
+                return _convert_via_pil(payload), "image/png"
+            except Exception:
+                pass
+        return _convert_stub(payload), "image/png"
+    if fmt in _PASSTHROUGH_FORMATS:
+        return payload, f"image/{fmt}"
+    return payload, "application/octet-stream"
+
+
+NORMALIZED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),
+    ]
+)
+
+
+def normalize_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S2 as a predicate-split pipeline: the cheap magic-byte sniff is a
+    pure expression; ONLY rows whose sniffed format needs conversion
+    (TIFF/BMP) enter the Python convert leg — everything else is
+    expression-only passthrough. Narrow plan, no shuffle; the union
+    mirrors the E4 recomputation-prune shape."""
+    meta = sniff_media_expr(payload_col)
+    src = df.select(
+        "url", F.col(payload_col).alias("payload"), meta["format"].alias("fmt")
+    )
+    needs_convert = F.col("fmt").isin(*_CONVERT_FORMATS)
+
+    passthrough = src.filter(~needs_convert).select(
+        "url",
+        "payload",
+        F.when(
+            F.col("fmt").isin(*_PASSTHROUGH_FORMATS),
+            F.concat(F.lit("image/"), F.col("fmt")),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("media_type"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            payloads, types = [], []
+            for payload, fmt in zip(b["payload"], b["fmt"], strict=True):
+                out, mt = normalize_image(
+                    bytes(payload) if payload is not None else b"", fmt
+                )
+                payloads.append(out)
+                types.append(mt)
+            yield pd.DataFrame(
+                {"url": b["url"], "payload": payloads, "media_type": types}
+            )
+
+    converted = src.filter(needs_convert).mapInPandas(
+        batches, schema=NORMALIZED_SCHEMA
+    )
+    return passthrough.unionByName(converted)
+
+
 def _decode_stub(payload: bytes) -> bytes:
     """STUB decode/feature-extract kernel. A real deployment drops in
     Pillow/torchvision/ffmpeg here; the sandbox uses a deterministic

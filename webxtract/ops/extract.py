@@ -86,7 +86,7 @@ def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         results = []
         for payload in pdf_batch["html"]:
             payload = bytes(payload) if payload is not None else None
-            text, spans, n_pages, failed = extract_pdf(payload)
+            text, spans, n_pages, failed, used_ocr = extract_pdf(payload)
             avg_conf = (
                 sum(s["confidence"] for s in spans) / len(spans) if spans else 0.0
             )
@@ -96,7 +96,7 @@ def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     spans,
                     n_pages,
                     avg_conf,
-                    "pdf",
+                    "pdf_ocr" if used_ocr else "pdf",
                     failed,
                     len(payload) if payload else 0,
                 )

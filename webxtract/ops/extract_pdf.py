@@ -27,6 +27,7 @@ except ImportError:  # pragma: no cover
 
 PDF_MAGIC = b"%PDF-"
 PAGE_MARKER = "%%PAGE "
+SCAN_MARKER = "%%SCAN "
 
 
 def _pages_via_fitz(payload: bytes) -> list[str]:  # pragma: no cover
@@ -52,6 +53,11 @@ def _pages_via_synthetic(payload: bytes) -> list[str] | None:
         if line.startswith(PAGE_MARKER):
             pages.append([])
             seen_marker = True
+        elif line.startswith(SCAN_MARKER):
+            # raster-only page content: invisible to the native text
+            # layer (the synthetic analog of an image-only scan page);
+            # only the forced-OCR backend can read it
+            continue
         elif seen_marker:
             pages[-1].append(line)
     if not seen_marker:
@@ -59,24 +65,12 @@ def _pages_via_synthetic(payload: bytes) -> list[str] | None:
     return ["\n".join(p).strip() for p in pages]
 
 
-def extract_pdf(payload: bytes | None) -> tuple[str | None, list[dict], int, bool]:
-    """bytes -> (extracted_text, spans, n_pages, parse_failure).
-
-    One span per non-blank page (confidence 1.0 — native text, not OCR);
-    bbox.y_min/y_max carry the 1-indexed page number.
-    """
-    if not payload or not payload.startswith(PDF_MAGIC):
-        return None, [], 0, True
-
-    pages: list[str] | None = _pages_via_synthetic(payload)
-    if pages is None and HAVE_FITZ:  # pragma: no cover
-        try:
-            pages = _pages_via_fitz(payload)
-        except Exception:
-            pages = None
-    if pages is None:
-        return None, [], 0, True
-
+def assemble_pages(
+    pages: list[str], confidence: float = 1.0
+) -> tuple[str | None, list[dict]]:
+    """Page texts -> (concatenated text, spans): "\\n\\n".join of
+    non-blank pages (ocr.py:152, operator E5); one span per kept page,
+    bbox.y carrying the 1-indexed page number."""
     spans: list[dict] = []
     kept: list[str] = []
     offset = 0
@@ -90,7 +84,7 @@ def extract_pdf(payload: bytes | None) -> tuple[str | None, list[dict], int, boo
         spans.append(
             {
                 "text": text,
-                "confidence": 1.0,
+                "confidence": confidence,
                 "bbox": {
                     "x_min": float(start),
                     "y_min": float(idx),
@@ -99,5 +93,47 @@ def extract_pdf(payload: bytes | None) -> tuple[str | None, list[dict], int, boo
                 },
             }
         )
-    extracted = "\n\n".join(kept) if kept else None
-    return extracted, spans, len(pages), extracted is None
+    return ("\n\n".join(kept) if kept else None), spans
+
+
+def native_pdf_pages(payload: bytes) -> list[str] | None:
+    """Native text-layer page texts (E2), or None when unparseable."""
+    pages: list[str] | None = _pages_via_synthetic(payload)
+    if pages is None and HAVE_FITZ:  # pragma: no cover
+        try:
+            pages = _pages_via_fitz(payload)
+        except Exception:
+            pages = None
+    return pages
+
+
+def extract_pdf(
+    payload: bytes | None, ocr_fallback: bool = True
+) -> tuple[str | None, list[dict], int, bool, bool]:
+    """bytes -> (extracted_text, spans, n_pages, parse_failure, used_ocr).
+
+    Native-text-first policy (operator E4, ocr.py:144-150): parse the
+    native text layer; when NO page has non-blank text, re-run the
+    document through the forced-OCR backend (operator E3) — the
+    data-dependent second pass the reference performs. One span per
+    non-blank page (confidence 1.0 native / 0.8 OCR'd);
+    bbox.y_min/y_max carry the 1-indexed page number.
+    """
+    if not payload or not payload.startswith(PDF_MAGIC):
+        return None, [], 0, True, False
+
+    pages = native_pdf_pages(payload)
+    if pages is None:
+        return None, [], 0, True, False
+
+    if ocr_fallback and not any(t.strip() for t in pages):
+        # E4: all-blank native -> forced OCR (ocr.py:144-150)
+        from webxtract.ops import ocr_backend
+
+        ocr_pages = ocr_backend.ocr_pdf_pages(payload)
+        if ocr_pages is not None and any(t.strip() for t in ocr_pages):
+            extracted, spans = assemble_pages(ocr_pages, confidence=0.8)
+            return extracted, spans, len(ocr_pages), extracted is None, True
+
+    extracted, spans = assemble_pages(pages)
+    return extracted, spans, len(pages), extracted is None, False

@@ -114,6 +114,36 @@ SELECT
 FROM customer
 """
 
+ORACLES["pdf_page_explode"] = """
+SELECT doc_id, page_number, 2 AS n_pages, page_text, 1224 AS width, 1584 AS height
+FROM (
+  SELECT doc_id, 1 AS page_number, text AS page_text FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'LANG ' || upper(lang) FROM documents
+)
+ORDER BY doc_id, page_number
+"""
+
+ORACLES["ocr_fallback_e3"] = """
+SELECT doc_id, text AS extracted_text, 'pdf_ocr' AS source_kind, 1 AS n_pages
+FROM documents
+"""
+
+# BMP -> stub PNG: magic + 'NORM' + first 16 bytes of sha256(source);
+# PNG/JPEG passthrough. Compared as uppercase hex (Spark F.hex twin).
+ORACLES["media_normalize"] = """
+SELECT
+  doc_id,
+  CASE doc_id % 3 WHEN 2 THEN 'image/jpeg' ELSE 'image/png' END AS media_type,
+  CASE doc_id % 3
+    WHEN 0 THEN '89504E470D0A1A0A' || '4E4F524D'
+                || upper(substr(sha256('BM' || text), 1, 32))
+    WHEN 1 THEN '89504E470D0A1A0A' || hex(text)
+    ELSE 'FFD8FFE0' || hex(text)
+  END AS payload_hex
+FROM documents
+"""
+
 # ------------------------------------------------- detection / fake / valid
 
 ORACLES["doc_type_cascade"] = """

@@ -13,7 +13,7 @@ projection; the full-pipeline plan has zero wide dependencies
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from webxtract.config import DEFAULT_MINIMUM_AGE, DEFAULT_RUN_DATE
@@ -28,6 +28,48 @@ from webxtract.ops.validators import (
     validation_summary_expr,
     with_parsed_dates,
 )
+
+
+def integrity_summary_expr(fake: Column, integrity_valid: Column) -> Column:
+    """X2 summary shape (claude_integrity_analyzer.get_summary,
+    :228-283): issues_detected[] of (type, confidence, findings[]) plus
+    is_fraudulent / confidence / risk_level / recommendation / summary.
+    The external vision model is excluded by design (SURVEY.md §2.6);
+    the deterministic fake detector populates the specimen_document
+    issue slot, the other two slots (photo_tampering, screen_capture)
+    stay empty, and risk tiers map from the fake confidence."""
+    conf = fake["confidence"]
+    issue = F.struct(
+        F.lit("specimen_document").alias("type"),
+        conf.alias("confidence"),
+        fake["reasons"].alias("findings"),
+    )
+    issues = F.when(fake["is_fake"], F.array(issue)).otherwise(
+        F.array().cast(
+            "array<struct<type:string,confidence:double,findings:array<string>>>"
+        )
+    )
+    risk = (
+        F.when(conf >= 0.7, "high")
+        .when(conf >= 0.4, "medium")
+        .when(conf > 0.0, "low")
+        .otherwise("minimal")
+    )
+    return F.struct(
+        fake["is_fake"].alias("is_fraudulent"),
+        conf.alias("confidence"),
+        risk.alias("risk_level"),
+        issues.alias("issues_detected"),
+        F.when(fake["is_fake"], "reject").otherwise("approve").alias("recommendation"),
+        F.when(
+            fake["is_fake"],
+            F.concat(
+                F.lit("Document flagged: "), F.array_join(fake["reasons"], "; ")
+            ),
+        )
+        .otherwise(F.lit("No integrity issues detected"))
+        .alias("summary"),
+    )
 
 
 def run_pipeline(
@@ -67,8 +109,12 @@ def run_pipeline(
         .drop(*_DT_TMP)
     )
 
-    # Integrity (ocr.py:296-312 minus the external Claude stage X2):
-    # integrity_score = max(0, 1 - fake_confidence); valid = not fake.
+    # Integrity (ocr.py:296-312): integrity_score = max(0, 1 -
+    # fake_confidence); valid = not fake. The full DocumentIntegrityResult
+    # shape (responses.py:52-56) and the X2 summary distillation
+    # (claude_integrity_analyzer.py:228-283 — 3 issue structs + overall
+    # assessment) are emitted with the deterministic fake detector
+    # standing in for the excluded external Claude stage.
     step2 = step1.select(
         "*",
         F.greatest(
@@ -76,6 +122,16 @@ def run_pipeline(
         ).alias("integrity_score"),
         (~F.col("fake_detection.is_fake")).alias("integrity_valid"),
         doc_type_enum_expr(F.col("doc_type.document_type")).alias("doc_type_enum"),
+    ).select(
+        "*",
+        F.struct(
+            F.col("integrity_valid").alias("is_valid"),
+            F.col("fake_detection").alias("fake_detection"),
+            F.col("integrity_score").alias("integrity_score"),
+        ).alias("document_integrity"),
+        integrity_summary_expr(
+            F.col("fake_detection"), F.col("integrity_valid")
+        ).alias("integrity_summary"),
     )
 
     if bucket_by_url:

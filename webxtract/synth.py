@@ -434,12 +434,19 @@ def _render_html(rnd: random.Random, blocks: list[str], title: str) -> str:
     )
 
 
-def _make_pdf_payload(rnd: random.Random) -> tuple[bytes, str, int]:
+def _make_pdf_payload(rnd: random.Random) -> tuple[bytes, str, int, bool]:
     """Synthetic PDF-magic payload: ``%PDF-1.4`` header + ``%%PAGE n``
     markers. Page text = lines joined by \\n then stripped (the reference
     strips per page before the join, pdf_ocr.py:60); document text joins
-    non-blank pages with \\n\\n (ocr.py:152)."""
+    non-blank pages with \\n\\n (ocr.py:152).
+
+    ~30% of PDFs are *scan-only*: their content lines carry the
+    ``%%SCAN `` raster marker, invisible to the native text layer —
+    these exercise the forced-OCR fallback (operators E3/E4,
+    ocr.py:144-150). Returns (payload, expected_text, n_pages,
+    scan_only)."""
     n_pages = rnd.randint(1, 4)
+    scan_only = rnd.random() < 0.3
     page_texts: list[str] = []
     raw_parts = ["%PDF-1.4"]
     for p in range(1, n_pages + 1):
@@ -449,10 +456,13 @@ def _make_pdf_payload(rnd: random.Random) -> tuple[bytes, str, int]:
             page_texts.append("")
         else:
             lines = [_paragraph(rnd, 5, 14) for _ in range(rnd.randint(1, 3))]
-            raw_parts.extend(lines)
+            if scan_only:
+                raw_parts.extend("%%SCAN " + line for line in lines)
+            else:
+                raw_parts.extend(lines)
             page_texts.append("\n".join(lines).strip())
     expected = "\n\n".join(t for t in page_texts if t)
-    return "\n".join(raw_parts).encode("utf-8"), expected, n_pages
+    return "\n".join(raw_parts).encode("utf-8"), expected, n_pages, scan_only
 
 
 def gen_pages(n_rows: int, run_date: dt.date | str, seed: int = SEED) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -497,11 +507,11 @@ def gen_pages(n_rows: int, run_date: dt.date | str, seed: int = SEED) -> tuple[p
             if html.startswith(b"%PDF-") or b"<" in html:
                 html = b"\x00\x01" + html  # keep it unparseable
             exp["source_kind"] = "html"
-        elif r < 0.07:  # synthetic PDF
-            html, expected_text, n_pages = _make_pdf_payload(rnd)
+        elif r < 0.07:  # synthetic PDF (native-text or scan-only)
+            html, expected_text, n_pages, scan_only = _make_pdf_payload(rnd)
             exp.update(
                 extracted_text=expected_text or None,
-                source_kind="pdf",
+                source_kind="pdf_ocr" if (scan_only and expected_text) else "pdf",
                 parse_failure=not expected_text,
                 n_pages=n_pages,
             )
