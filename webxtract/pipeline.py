@@ -109,6 +109,22 @@ def run_pipeline(
         .drop(*_DT_TMP)
     )
 
+    # The exchange sits directly after step1: everything below
+    # (integrity struct, summary distillation, validator dispatch) only
+    # *references* the detection/fake structs, so shuffling here sends
+    # the heavy expression work map-side and leaves the reduce side
+    # with cheap field accesses — the shuffle payload is identical
+    # either way, and the structs are guaranteed materialized exactly
+    # once regardless of how projection collapsing treats multi-
+    # referenced columns.
+    if bucket_by_url:
+        from webxtract.audit import partition_by_url
+
+        n_part = int(
+            pages.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        step1 = partition_by_url(step1, n_part)
+
     # Integrity (ocr.py:296-312): integrity_score = max(0, 1 -
     # fake_confidence); valid = not fake. The full DocumentIntegrityResult
     # shape (responses.py:52-56) and the X2 summary distillation
@@ -133,14 +149,6 @@ def run_pipeline(
             F.col("fake_detection"), F.col("integrity_valid")
         ).alias("integrity_summary"),
     )
-
-    if bucket_by_url:
-        from webxtract.audit import partition_by_url
-
-        n_part = int(
-            pages.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        step2 = partition_by_url(step2, n_part)
 
     results = validation_results_expr(F.col("doc_type_enum"), run, minimum_age)
     step3 = (
