@@ -19,6 +19,8 @@ chosen types are exact). No joins, no shuffles, no Python.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -110,7 +112,11 @@ def _country_name_expr(country_code: Column) -> Column:
     return F.create_map(*pairs)[country_code]
 
 
-def with_detection_inputs(df: DataFrame, prefix: str = "") -> DataFrame:
+@lru_cache(maxsize=4)
+def _detection_input_exprs(prefix: str) -> tuple[dict, dict]:
+    """Two withColumns batches (the second references ``__dt_ft`` from
+    the first). Cached per process: expression construction is py4j-
+    round-trip-bound and the trees are pure functions of ``prefix``."""
     col = lambda name: F.col(prefix + name)  # noqa: E731
 
     # D1 full-text assembly (detector :584-590): lower-cased join of the
@@ -126,36 +132,38 @@ def with_detection_inputs(df: DataFrame, prefix: str = "") -> DataFrame:
     )
     document_number = F.coalesce(col("document_number"), F.lit(""))
     cc = F.upper(F.coalesce(col("country_code"), F.lit("")))
-    df = (
-        df.withColumn("__dt_ft", full_text_lower)
-        .withColumn("__dt_numu", F.upper(F.trim(document_number)))
-        .withColumn(
-            "__dt_numc",
-            F.regexp_replace(F.upper(F.trim(document_number)), r"[\s\-]", ""),
-        )
-        .withColumn("__dt_title", _lower(col("document_title")))
-        .withColumn("__dt_cc", cc)
-        .withColumn("__dt_cname", _country_name_expr(cc))
-    )
+    group1 = {
+        "__dt_ft": full_text_lower,
+        "__dt_numu": F.upper(F.trim(document_number)),
+        "__dt_numc": F.regexp_replace(
+            F.upper(F.trim(document_number)), r"[\s\-]", ""
+        ),
+        "__dt_title": _lower(col("document_title")),
+        "__dt_cc": cc,
+        "__dt_cname": _country_name_expr(cc),
+    }
     # D3 province / US-state detection (detector :556-581): full names
     # first, then abbreviations; "québec" normalizes to "quebec".
     ft = F.col("__dt_ft")
     province_names = {
         k: ("quebec" if k == "québec" else k) for k in rules.PROVINCE_MAPPING
     }
-    return df.withColumn(
-        "__dt_prov",
-        F.coalesce(
+    group2 = {
+        "__dt_prov": F.coalesce(
             _first_match(ft, province_names),
             _first_match(ft, rules.PROVINCE_ABBREV),
         ),
-    ).withColumn(
-        "__dt_state",
-        F.coalesce(
+        "__dt_state": F.coalesce(
             _first_match(ft, {k: k for k in rules.US_STATE_MAPPING}),
             _first_match(ft, rules.US_STATE_ABBREV),
         ),
-    )
+    }
+    return group1, group2
+
+
+def with_detection_inputs(df: DataFrame, prefix: str = "") -> DataFrame:
+    group1, group2 = _detection_input_exprs(prefix)
+    return df.withColumns(group1).withColumns(group2)
 
 
 # ------------------------------------------------------- literal rule tables

@@ -15,6 +15,8 @@ Required-field check replicates document_extractor.py:190-201
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,12 +64,20 @@ def field_expr(text: Column, name: str) -> Column:
     return val
 
 
-def with_fields(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
-    """Append the 13 field columns parsed from ``text_col``."""
+@lru_cache(maxsize=4)
+def _field_exprs(text_col: str) -> tuple:
     text = F.col(text_col)
-    return df.select(
-        "*", *[field_expr(text, name).alias(name) for name in FIELD_NAMES]
-    )
+    return tuple(field_expr(text, name).alias(name) for name in FIELD_NAMES)
+
+
+def with_fields(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """Append the 13 field columns parsed from ``text_col``.
+
+    The parse expressions are pure functions of the column name, so the
+    (py4j-heavy) construction is cached per process: Column objects are
+    immutable expression trees, reusable across DataFrames and sessions
+    on the same JVM gateway."""
+    return df.select("*", *_field_exprs(text_col))
 
 
 def missing_fields_expr(prefix: str = "") -> Column:

@@ -34,6 +34,7 @@ becomes an ordered coalesce of try_to_date; "now" is the frozen
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -204,12 +205,17 @@ def _last_name_param(variant: Column, prefix: str) -> Column:
 DOB_COL, ISSUE_COL, EXP_COL = "__dob_d", "__issue_d", "__exp_d"
 
 
+@lru_cache(maxsize=4)
+def _parsed_date_exprs(prefix: str) -> dict:
+    return {
+        DOB_COL: parse_date_expr(F.col(prefix + "date_of_birth")),
+        ISSUE_COL: parse_date_expr(F.col(prefix + "issue_date")),
+        EXP_COL: parse_date_expr(F.col(prefix + "expiry_date")),
+    }
+
+
 def with_parsed_dates(df, prefix: str = ""):
-    return (
-        df.withColumn(DOB_COL, parse_date_expr(F.col(prefix + "date_of_birth")))
-        .withColumn(ISSUE_COL, parse_date_expr(F.col(prefix + "issue_date")))
-        .withColumn(EXP_COL, parse_date_expr(F.col(prefix + "expiry_date")))
-    )
+    return df.withColumns(_parsed_date_exprs(prefix))
 
 
 def _dates():
