@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_revenue_by_nation": wrap(c.q_broadcast_revenue_by_nation),
         "window_top3_orders": wrap(c.q_window_top3_orders),
         "sessionize_events": wrap(c.q_sessionize_events),
+        "windowed_event_counts": wrap(c.q_windowed_event_counts),
         # extraction operators (S1-S3, E1-E5)
         "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
         "extract_pdf_roundtrip": wrap(c.q_extract_pdf_roundtrip),

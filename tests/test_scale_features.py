@@ -76,6 +76,91 @@ def test_streaming_extraction(spark, corpus, tmp_path):
         assert (g if pd.notna(g) else None) == (e if pd.notna(e) else None)
 
 
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions that span microbatch
+    boundaries continue via state; a session closes (and emits) as soon
+    as a later event for the same user passes the inactivity gap. The
+    final open session per user stays in state, unemitted."""
+    import datetime as dt
+
+    from webxtract.streaming import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # 5 users x 3 sessions x 4 events (1 min apart); sessions 2h apart.
+    # File i holds session i for every user, so each session's close is
+    # triggered by the NEXT microbatch — exercising cross-batch state.
+    files: list[list] = [[], [], []]
+    for u in range(5):
+        for s in range(3):
+            start = t0 + dt.timedelta(hours=2 * s, minutes=u)
+            for k in range(4):
+                files[s].append(
+                    (eid, start + dt.timedelta(minutes=k), u, "view", float(u + k))
+                )
+                eid += 1
+    drops = tmp_path / "events"
+    drops.mkdir()
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    for i, batch in enumerate(files):
+        spark.createDataFrame(batch, schema=schema).coalesce(1).write.parquet(
+            str(drops / f"drop{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops) + "/drop*")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("sess_test").toPandas()
+    # sessions 0 and 1 per user closed by later data; session 2 stays open
+    assert len(got) == 10
+    got = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    for u in range(5):
+        mine = got[got["user_id"] == u].reset_index(drop=True)
+        assert len(mine) == 2
+        for s in range(2):
+            start = t0 + dt.timedelta(hours=2 * s, minutes=u)
+            assert mine.loc[s, "session_start"].to_pydatetime() == start
+            assert mine.loc[s, "session_end"].to_pydatetime() == start + dt.timedelta(minutes=3)
+            assert mine.loc[s, "n_events"] == 4
+            assert mine.loc[s, "total_value"] == float(4 * u + 6)  # u+0..u+3
+
+
+def test_windowed_event_counts_batch_exact(spark):
+    """The streaming window agg run in batch mode (watermark no-op)."""
+    import datetime as dt
+
+    from webxtract.streaming import windowed_event_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0 + dt.timedelta(minutes=1), 1, "view", 1.0),
+        (1, t0 + dt.timedelta(minutes=9), 1, "view", 2.0),
+        (2, t0 + dt.timedelta(minutes=11), 2, "click", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(df).collect()
+    }
+    assert got == {
+        (t0, "view"): (2, 3.0),
+        (t0 + dt.timedelta(minutes=10), "click"): (1, 5.0),
+    }
+
+
 def test_multimodal_sniff_and_features(spark):
     from webxtract.multimodal import extract_features, sniff_media_expr
 

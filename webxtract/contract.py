@@ -96,6 +96,16 @@ def q_window_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window event metrics (streaming operator run
+    in batch mode, where the watermark is a no-op and the result is
+    exact — the oracle checks the window arithmetic)."""
+    from webxtract.streaming import windowed_event_counts
+
+    e = _t(spark, sf_dir, "events")
+    return windowed_event_counts(e).orderBy("window_start", "event_type")
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running
     sum — the standard two-window formulation, single shuffle on

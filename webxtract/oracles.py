@@ -60,6 +60,17 @@ SELECT o_custkey, o_orderkey, totalprice, rn FROM (
 ) WHERE rn <= 3
 """
 
+ORACLES["windowed_event_counts"] = """
+SELECT
+  time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
 ORACLES["sessionize_events"] = """
 WITH gaps AS (
   SELECT

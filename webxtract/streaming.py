@@ -12,6 +12,7 @@ analog in this sandbox).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from webxtract.schemas import PAGES_SCHEMA
@@ -56,3 +57,129 @@ def start_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ----------------------------------------------- windowed aggregation
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window event metrics with a watermark for late data.
+
+    On a streaming DataFrame: events later than ``watermark`` behind the
+    max seen event time are dropped and window state is evicted — the
+    standard bounded-state late-data policy. On a batch DataFrame the
+    watermark is a no-op and the result is exact, which is how the
+    driver's DuckDB oracle checks the window arithmetic
+    (``windowed_event_counts`` in webxtract.contract/oracles).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ------------------------------------------- stateful sessionization
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+# epoch-micros + counters; kept flat and integer-typed so state rows are
+# small (streaming state lives in the state store per key)
+SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState``) — the streaming twin of the batch
+    lag+running-sum sessionizer (webxtract.contract.q_sessionize_events).
+
+    Per user_id the state holds the open session (start/last/n/total in
+    epoch micros). A closed session is emitted as soon as a later event
+    arrives past the gap, so sessions interrupted by a microbatch
+    boundary continue seamlessly; a session with no successor event
+    closes via event-time timeout once the watermark passes
+    last + gap. The final open session at end-of-stream stays in state
+    (exactly the semantics a continuous pipeline wants; AvailableNow
+    catch-up runs pick it up on the next increment).
+    """
+    import pandas as pd  # local: workers import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+
+        out = {k: [] for k in ("user_id", "session_start", "session_end", "n_events", "total_value")}
+        for ts, value in zip(rows["ts"], rows["value"]):
+            us = int(ts.value // 1000)  # pandas ns -> us
+            if start is None:
+                start, last, n, total = us, us, 1, float(value)
+            elif us - last > gap_us:
+                out["user_id"].append(user_id)
+                out["session_start"].append(pd.Timestamp(start, unit="us"))
+                out["session_end"].append(pd.Timestamp(last, unit="us"))
+                out["n_events"].append(n)
+                out["total_value"].append(round(total, 6))
+                start, last, n, total = us, us, 1, float(value)
+            else:
+                last, n, total = us, n + 1, total + float(value)
+
+        state.update((start, last, n, total))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
