@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),
+        "ann_multiprobe_topk": wrap(c.q_ann_multiprobe_topk),
         "embedding_near_dup": wrap(c.q_embedding_near_dup),
     }
 

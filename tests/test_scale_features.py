@@ -205,6 +205,15 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert 0 in set(ann["vec_id"])  # query vector is in its own bucket
     assert (ann["cosine"] <= bf["cosine"].max() + 1e-9).all()
 
+    # multi-probe (Hamming-1 buckets) must dominate single-probe:
+    # superset candidates -> recall vs brute force can only go up
+    from webxtract.contract import q_ann_multiprobe_topk
+
+    multi = q_ann_multiprobe_topk(spark, sf).toPandas()
+    top = set(bf["vec_id"])
+    assert len(set(multi["vec_id"]) & top) >= len(set(ann["vec_id"]) & top)
+    assert 0 in set(multi["vec_id"])
+
 
 def test_posting_list_cap_bounds_hot_shingle(spark):
     """A shingle shared by every document must not generate quadratic

@@ -450,6 +450,35 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 ORACLES["ann_lsh_topk"] = _ann_sql()
 
 
+def _ann_multiprobe_sql() -> str:
+    """Twin of lsh_topk(multiprobe=True): candidate buckets are the
+    query bucket plus each single-plane flip (Hamming distance 1)."""
+    bucket = (
+        "list_sum(list_transform(range(0, 8), h -> CASE WHEN "
+        + _proj_sql("{v}", "h")
+        + " >= 0 THEN 1 << h ELSE 0 END))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+bq AS (SELECT {bucket.format(v='qv')} AS qb, qv FROM q),
+probes AS (
+  SELECT list_append(list_transform(range(0, 8), h -> xor(qb, 1 << h)), qb) AS pl, qv
+  FROM bq
+),
+be AS (
+  SELECT e.vec_id, e.embedding,
+         {bucket.format(v='e.embedding')} AS b
+  FROM embeddings e
+)
+SELECT be.vec_id, round({_cos_sql('be.embedding', 'probes.qv')}, 6) AS cosine
+FROM be, probes WHERE list_contains(probes.pl, be.b)
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+ORACLES["ann_multiprobe_topk"] = _ann_multiprobe_sql()
+
+
 def _near_dup_sql() -> str:
     """Exact twin of the planted-copy embedding_near_dup query: union
     vec_id<300 with copies at +100000, bucket per 16-plane band (2

@@ -95,19 +95,30 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = N_PLANES,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k: restrict to the query's hyperplane bucket, then exact
     re-rank. Recall < 1 by construction; the scale path for 10^12 rows
-    (bucket column is precomputable/persistable as a partition key)."""
+    (bucket column is precomputable/persistable as a partition key).
+
+    ``multiprobe=True`` additionally probes every Hamming-distance-1
+    bucket (each single plane flipped): vectors near a hyperplane land
+    on either side by a hair, so the 1-flip neighborhood recovers most
+    of the single-probe recall loss for ~(n_planes+1)x the candidate
+    volume — still a 2^n_planes/(n_planes+1) fraction of the corpus,
+    and the probe set is a driver-side constant (no extra pass)."""
     dim = len(query)
     qbucket = sum(
         (2 ** h) if sum(_plane_weight(h, i) * query[i] for i in range(dim)) >= 0 else 0
         for h in range(n_planes)
     )
+    probes = [qbucket]
+    if multiprobe:
+        probes += [qbucket ^ (1 << h) for h in range(n_planes)]
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
         df.withColumn("bucket", bucket_expr(F.col(vec_col), dim, n_planes))
-        .filter(F.col("bucket") == qbucket)
+        .filter(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
