@@ -1,0 +1,83 @@
+"""Physical-plan audits: the properties that make these operators hold
+at 100 TB are asserted on the plan itself, so a refactor that silently
+adds a shuffle, drops predicate pushdown, or flips a broadcast join to
+a sort-merge join fails CI — not a cluster bill.
+
+(The extraction stage's zero-shuffle guarantee is asserted separately
+in test_extract.test_no_shuffle_in_extraction_plan.)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count distinct physical nodes of a type (explain('formatted')
+    repeats node names in the details section; node ids are unique)."""
+    return len(set(re.findall(rf"\((\d+)\) {name}", plan)))
+
+
+def test_q1_pushdown_pruning_partial_agg(spark):
+    from webxtract.contract import q_tpch_q1_agg
+
+    plan = _plan(q_tpch_q1_agg(spark, TESTDATA))
+    # filter reaches the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed columns are read
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in schema_line and "l_orderkey" not in schema_line
+    assert "l_quantity" in schema_line
+    # map-side combine: partial + final HashAggregate around one shuffle
+    assert _nodes(plan, "HashAggregate") == 2
+    assert _nodes(plan, "Exchange") <= 2  # agg shuffle (+ output sort)
+
+
+def test_small_dim_join_broadcasts(spark):
+    from webxtract.contract import q_broadcast_revenue_by_nation
+
+    plan = _plan(q_broadcast_revenue_by_nation(spark, TESTDATA))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "SortMergeJoin") == 0  # big side never shuffles for the join
+
+
+def test_exact_dedup_reads_only_needed_columns(spark):
+    from webxtract.contract import q_exact_dedup
+
+    plan = _plan(q_exact_dedup(spark, TESTDATA))
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # shuffle carries md5+id, never the payload; the scan reads only
+    # the hashed column and the id
+    assert "text" in schema_line and "doc_id" in schema_line
+    assert "lang" not in schema_line and "url" not in schema_line
+
+
+def test_pipeline_has_exactly_one_exchange(spark, corpus):
+    from webxtract.pipeline import run_pipeline
+
+    pages_path, _ = corpus
+    plan = _plan(run_pipeline(spark.read.parquet(pages_path)))
+    # the salted url-hash bucketing is the ONLY wide dependency in the
+    # whole extract->validate lifecycle
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_cosine_topk_uses_takeordered(spark):
+    from webxtract.contract import q_cosine_topk
+
+    plan = _plan(q_cosine_topk(spark, TESTDATA))
+    # top-k must be per-partition heaps + driver merge, not a full sort
+    assert "TakeOrderedAndProject" in plan
