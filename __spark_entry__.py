@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_page_explode": wrap(c.q_pdf_page_explode),
         "ocr_fallback_e3": wrap(c.q_ocr_fallback_e3),
         "media_normalize": wrap(c.q_media_normalize),
+        "media_resize": wrap(c.q_media_resize),
+        "frame_sample": wrap(c.q_frame_sample),
+        "bpe_token_count": wrap(c.q_bpe_token_count),
         # field layer (E6/E7) + detection (D1-D8) + fake (F1-F6)
         "field_extraction_e6": wrap(c.q_field_extraction_e6),
         "doc_type_cascade": wrap(c.q_doc_type_cascade),

@@ -192,6 +192,48 @@ def test_multimodal_sniff_and_features(spark):
     assert feats.loc["u7", "feature"] is None  # undecodable -> null, no crash
 
 
+def test_resize_and_frame_sample(spark):
+    """Vision preprocessing plumbing: resize binds (source, dims) into
+    deterministic output; frame sampling is flatMap-shaped with a
+    size-derived frame count; null/empty payloads behave."""
+    from webxtract.multimodal import MAGIC, resize_images, sample_frames
+
+    rows = [("a", b"BM" + b"x" * 100), ("b", b"BM" + b"y" * 3000), ("c", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+
+    rs = {r["url"]: r for r in resize_images(df, 224, 224).collect()}
+    assert bytes(rs["a"]["payload"]).startswith(MAGIC["png"] + b"RSZ224x224:")
+    assert rs["a"]["width"] == 224 and rs["a"]["height"] == 224
+    assert bytes(rs["a"]["payload"]) != bytes(rs["b"]["payload"])  # source-bound
+    assert rs["c"]["payload"] is None  # null payload -> null output, no crash
+
+    fr = sample_frames(df, every_s=1, max_frames=4).collect()
+    by_url: dict = {}
+    for r in fr:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url["a"]) == 1          # 102 bytes -> 1 frame
+    assert len(by_url["b"]) == 2          # 3002 bytes -> 2 frames
+    assert "c" not in by_url              # null payload -> zero rows
+    assert [r["frame_no"] for r in sorted(by_url["b"], key=lambda r: r["frame_no"])] == [0, 1]
+    assert all(bytes(r["frame"]).startswith(b"\xff\xd8\xff\xe0") for r in fr)
+    assert len({bytes(r["frame"]) for r in fr}) == 3  # frames all distinct
+
+
+def test_bpe_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from webxtract.textops import bpe_token_count_expr
+
+    df = spark.createDataFrame(
+        [("a", "It's 2024, isn't it?"), ("b", ""), ("c", None)], "id string, text string"
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count_expr(F.col("text")).alias("n")).collect()}
+    # It|'s| 2024|,| isn|'t| it|? -> 8
+    assert got["a"] == 8
+    assert got["b"] == 0
+    assert got["c"] is None or got["c"] == 0
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     """ANN sanity: the LSH top-k must be a subset of the brute-force
     ranking restricted to the query's bucket, and the query's own vector

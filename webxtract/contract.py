@@ -275,6 +275,52 @@ def q_media_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize to 224x224 (vision-model preprocessing) via the
+    deterministic stub kernel; compared by hex."""
+    from webxtract.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(F.lit(b"BM"), F.encode(F.col("text"), "utf-8")).alias("payload"),
+    )
+    out = resize_images(media, width=224, height=224)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "width",
+        "height",
+        F.hex(F.col("payload")).alias("payload_hex"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (flatMap-shaped
+    mapInPandas); the stub derives frame count from payload size."""
+    from webxtract.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    out = sample_frames(media, every_s=1, max_frames=4)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "frame_no",
+        "ts_sec",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-pre-tokenizer token-budget estimate per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textops.bpe_token_count_expr(F.col("text")).alias("bpe_tokens")
+    )
+
+
 # ------------------------------------------------- detection / fake / valid
 
 

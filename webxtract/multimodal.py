@@ -240,3 +240,133 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return src.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------- image resize
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: PNG magic + an `RSZ{w}x{h}:` header +
+    a digest of the source bytes — format-correct output whose bytes
+    bind (source, target dims), reproducible by the DuckDB oracle."""
+    import hashlib
+
+    return (
+        MAGIC["png"]
+        + f"RSZ{width}x{height}:".encode()
+        + hashlib.sha256(payload).digest()[:16]
+    )
+
+
+def _resize_via_pil(payload: bytes, width: int, height: int) -> bytes:  # pragma: no cover
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(payload))
+    img = img.convert("RGB").resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, payload_col: str = "payload"
+) -> DataFrame:
+    """Batch image resize to a fixed (width, height) — the standard
+    vision-model preprocessing step — as an Arrow-batched mapInPandas.
+    Pillow-gated kernel; deterministic stub in this sandbox (codec libs
+    absent). Narrow plan: scan -> mapInPandas, no shuffle."""
+    src = df.select("url", F.col(payload_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            out = []
+            for payload in b["payload"]:
+                payload = bytes(payload) if payload is not None else b""
+                if not payload:
+                    out.append(None)
+                    continue
+                if HAVE_PIL:  # pragma: no cover
+                    try:
+                        out.append(_resize_via_pil(payload, width, height))
+                        continue
+                    except Exception:
+                        pass
+                out.append(_resize_stub(payload, width, height))
+            yield pd.DataFrame(
+                {
+                    "url": b["url"],
+                    "payload": out,
+                    "width": [width] * len(b),
+                    "height": [height] * len(b),
+                }
+            )
+
+    return src.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------- video frame sample
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("ts_sec", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def _frame_count_stub(n_bytes: int, every_s: int, max_frames: int) -> int:
+    """Deterministic duration model for the sandbox: 1 KiB of payload ~
+    1 second of 'video'; sample one frame per every_s seconds, capped.
+    (The ffmpeg kernel reads the real container duration instead.)"""
+    duration_s = max(1, n_bytes // 1024)
+    return max(1, min(max_frames, duration_s // every_s))
+
+
+def sample_frames(
+    df: DataFrame,
+    every_s: int = 10,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video -> one row per sampled frame (flatMap-shaped mapInPandas,
+    like the S3 page explode). ffmpeg-gated kernel; the sandbox stub
+    derives a deterministic frame count from payload size and emits
+    JPEG-magic frames whose bytes bind (source, frame_no). Empty/null
+    payloads yield zero rows."""
+    import hashlib
+
+    src = df.select("url", F.col(payload_col).alias("payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            out = {k: [] for k in ("url", "frame_no", "ts_sec", "frame")}
+            for url, payload in zip(b["url"], b["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if not payload:
+                    continue
+                n = _frame_count_stub(len(payload), every_s, max_frames)
+                for i in range(n):
+                    out["url"].append(url)
+                    out["frame_no"].append(i)
+                    out["ts_sec"].append(i * every_s)
+                    out["frame"].append(
+                        MAGIC["jpeg"]
+                        + b"\xe0"
+                        + hashlib.sha256(payload + f"|frame={i}".encode()).digest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, schema=FRAME_SCHEMA)

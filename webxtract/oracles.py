@@ -3,9 +3,12 @@
 Every oracle is hand-derived ANSI SQL over the pre-registered views
 (region nation customer supplier part orders lineitem events documents
 embeddings) that reproduces the Spark query bit-for-bit: same column
-names, same rounding, same engine-neutral polynomial hashes.
-Non-SQL-expressible ops (LSH banding joins, simhash bit sums, ANN) are
-deliberately absent -> the driver records rows-only checks for them.
+names, same rounding, same engine-neutral hashes (md5 low-60-bit on
+the dedup paths). EVERY contract query has an oracle — including the
+LSH banding joins, simhash bit sums, and ANN probes, whose
+deterministic plane/permutation families were chosen precisely so the
+bucket arithmetic stays SQL-expressible; the driver records zero
+rows-only checks.
 """
 
 RUN_DATE = "2026-01-15"
@@ -152,6 +155,39 @@ SELECT
     WHEN 1 THEN '89504E470D0A1A0A' || hex(text)
     ELSE 'FFD8FFE0' || hex(text)
   END AS payload_hex
+FROM documents
+"""
+
+# stub resize output: PNG magic + 'RSZ{w}x{h}:' + first 16 bytes of
+# sha256(source); source = 'BM' || text (hex-compared, like normalize)
+ORACLES["media_resize"] = """
+SELECT
+  doc_id,
+  224 AS width,
+  224 AS height,
+  '89504E470D0A1A0A' || hex('RSZ224x224:')
+    || upper(substr(sha256('BM' || text), 1, 32)) AS payload_hex
+FROM documents
+"""
+
+# stub frame sampler: duration = max(1, bytes/1024) sec, one frame per
+# second capped at 4; frame = FFD8FFE0 + sha256(payload|frame=i)[:16]
+ORACLES["frame_sample"] = """
+SELECT
+  doc_id,
+  CAST(i AS INT) AS frame_no,
+  CAST(i AS INT) AS ts_sec,
+  'FFD8FFE0' || upper(substr(sha256(text || '|frame=' || i), 1, 32)) AS frame_hex
+FROM documents, generate_series(0, 3) AS t(i)
+WHERE octet_length(encode(text)) > 0
+  AND i < greatest(1, least(4, octet_length(encode(text)) // 1024))
+"""
+
+ORACLES["bpe_token_count"] = """
+SELECT doc_id,
+  len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+  )) AS bpe_tokens
 FROM documents
 """
 

@@ -43,6 +43,20 @@ def distinct_token_count_expr(text: Column) -> Column:
     return F.size(F.array_distinct(tokens_expr(text)))
 
 
+# GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit
+# runs, punctuation runs, whitespace runs). Deliberately restricted to
+# syntax that Java regex and DuckDB's RE2 interpret identically (no
+# backrefs, no lookahead) so the count is oracle-checkable. This is the
+# *pre-tokenization* granularity a byte-pair encoder starts from — a
+# calibrated token-budget estimate, not a real BPE vocabulary.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Approximate LLM-token count via the GPT-2 pre-tokenizer split."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
 def quality_exprs(text: Column) -> dict[str, Column]:
     """Deterministic quality signals: char/token counts, type-token
     ratio, punctuation & digit ratios, mean token length — the
