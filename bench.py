@@ -118,6 +118,11 @@ def main() -> None:
         ("embedding_near_dup", contract.q_embedding_near_dup),
         ("pdf_page_explode", contract.q_pdf_page_explode),
         ("media_normalize", contract.q_media_normalize),
+        ("media_resize", contract.q_media_resize),
+        ("frame_sample", contract.q_frame_sample),
+        ("bpe_token_count", contract.q_bpe_token_count),
+        ("windowed_event_counts", contract.q_windowed_event_counts),
+        ("ann_multiprobe_topk", contract.q_ann_multiprobe_topk),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)))
 
