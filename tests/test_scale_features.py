@@ -76,6 +76,32 @@ def test_streaming_extraction(spark, corpus, tmp_path):
         assert (g if pd.notna(g) else None) == (e if pd.notna(e) else None)
 
 
+def test_streaming_checkpoint_exactly_once(spark, corpus, tmp_path):
+    """Stop/restart with the same checkpoint must not duplicate or drop
+    rows: run 1 processes drop A; run 2 (same checkpoint) sees drops A+B
+    but must process only B."""
+    from webxtract.streaming import start_extraction_stream
+
+    pages_path, expected = corpus
+    src = spark.read.parquet(pages_path)
+    a = src.limit(40)
+    drops = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    a.coalesce(1).write.mode("append").parquet(drops)
+    q = start_extraction_stream(spark, drops, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    src.coalesce(1).write.mode("append").parquet(drops)  # drop B (full corpus again)
+    q2 = start_extraction_stream(spark, drops, out, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    res = spark.read.parquet(out)
+    # run 2 processed ONLY the new file: 40 (run 1) + len(corpus) (run 2)
+    assert res.count() == 40 + len(expected)
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     """applyInPandasWithState sessionizer: sessions that span microbatch
     boundaries continue via state; a session closes (and emits) as soon
