@@ -257,7 +257,7 @@ def test_bpe_token_count(spark):
     # It|'s| 2024|,| isn|'t| it|? -> 8
     assert got["a"] == 8
     assert got["b"] == 0
-    assert got["c"] is None or got["c"] == 0
+    assert got["c"] is None  # null text -> null count, not legacy -1
 
 
 def test_lsh_topk_recall_vs_bruteforce(spark):

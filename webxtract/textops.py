@@ -53,8 +53,10 @@ BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{
 
 
 def bpe_token_count_expr(text: Column) -> Column:
-    """Approximate LLM-token count via the GPT-2 pre-tokenizer split."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+    """Approximate LLM-token count via the GPT-2 pre-tokenizer split.
+    NULL text -> NULL (F.size alone would yield the legacy -1)."""
+    n = F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+    return F.when(text.isNotNull(), n)
 
 
 def quality_exprs(text: Column) -> dict[str, Column]:
