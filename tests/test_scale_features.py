@@ -76,6 +76,37 @@ def test_streaming_extraction(spark, corpus, tmp_path):
         assert (g if pd.notna(g) else None) == (e if pd.notna(e) else None)
 
 
+def test_hot_host_salting_spreads_partitions(spark):
+    """partition_by_url's salt must spread one hot host's pages across
+    multiple partitions (Zipf hosts otherwise serialize into one task),
+    while staying deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from webxtract.audit import partition_by_url
+
+    rows = [(f"https://hot.example.org/page{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "url string")
+    parts = (
+        partition_by_url(df, 16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    sizes = {r["pid"]: r["count"] for r in parts}
+    assert len(sizes) >= 2           # the hot host is NOT one task
+    assert max(sizes.values()) < 2000
+    # deterministic: same input -> same spread
+    parts2 = (
+        partition_by_url(df, 16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert sizes == {r["pid"]: r["count"] for r in parts2}
+
+
 def test_streaming_checkpoint_exactly_once(spark, corpus, tmp_path):
     """Stop/restart with the same checkpoint must not duplicate or drop
     rows: run 1 processes drop A; run 2 (same checkpoint) sees drops A+B
