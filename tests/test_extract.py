@@ -114,6 +114,52 @@ def test_no_shuffle_in_extraction_plan(spark, corpus):
     assert "Exchange" not in plan
 
 
+def test_fuzz_garbage_payloads_never_kill_tasks(spark):
+    """100-TB ingestion reality: random bytes, truncated UTF-8, binary
+    junk behind HTML/PDF magic, empty and NULL payloads. Every row must
+    come back (quarantined, not raised) and a valid document in the
+    same batch must still extract."""
+    import random
+
+    from webxtract.ops.extract import extract_pages
+
+    rnd = random.Random(123)
+    rows = []
+    for i in range(200):
+        kind = i % 8
+        if kind == 0:
+            payload = bytes(rnd.getrandbits(8) for _ in range(rnd.randint(0, 500)))
+        elif kind == 1:
+            payload = b"%PDF-" + bytes(rnd.getrandbits(8) for _ in range(300))
+        elif kind == 2:
+            payload = b"<html>" + bytes(rnd.getrandbits(8) for _ in range(200))
+        elif kind == 3:
+            payload = ("<div>" * rnd.randint(1, 400)).encode()  # valid, empty
+        elif kind == 4:
+            payload = b"\xff\xfe" + "text".encode("utf-16-le") * 50
+        elif kind == 5:
+            payload = b""
+        elif kind == 6:
+            payload = None
+        else:
+            payload = b"%PDF-1.4\n%%PAGE 1\n" + bytes([0xC3])  # truncated UTF-8
+        rows.append((f"u{i}", None, payload, None, "en"))
+    rows.append(
+        ("good", None, b"<html><body><p>real extractable content here</p></body></html>", None, "en")
+    )
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = extract_pages(df).collect()
+    assert len(out) == len(rows)  # nothing dropped, no task died
+    by_url = {r["url"]: r for r in out}
+    assert by_url["good"]["parse_failure"] is False
+    assert "real extractable content" in by_url["good"]["extracted_text"]
+    garbage = [r for r in out if r["url"] != "good"]
+    assert all(r["parse_failure"] for r in garbage)
+    assert all(r["extracted_text"] is None for r in garbage)
+
+
 def test_ocr_fallback_and_scan_marker(spark):
     """E3/E4: scan-only pages are invisible to the native text layer and
     recovered by the forced-OCR second pass; mixed pages stay native."""
