@@ -193,6 +193,44 @@ def test_sessionize_stream_stateful(spark, tmp_path):
             assert mine.loc[s, "total_value"] == float(4 * u + 6)  # u+0..u+3
 
 
+def test_windowed_event_counts_streaming_append(spark, tmp_path):
+    """The same window agg on a real stream: with the watermark, closed
+    windows emit in append mode once later drops advance event time."""
+    import datetime as dt
+
+    from webxtract.streaming import windowed_event_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    drops = tmp_path / "evdrops"
+    drops.mkdir()
+    early = [(0, t0 + dt.timedelta(minutes=1), 1, "view", 1.0),
+             (1, t0 + dt.timedelta(minutes=2), 2, "view", 2.0)]
+    late = [(2, t0 + dt.timedelta(hours=2), 1, "click", 9.0)]  # advances watermark
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(str(drops / "d0"))
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(str(drops / "d1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops) + "/d*")
+    )
+    q = (
+        windowed_event_counts(stream, window="10 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("winagg").collect()
+    }
+    # the first window closed when the +2h drop advanced the watermark
+    assert rows[(t0, "view")] == (2, 3.0)
+
+
 def test_windowed_event_counts_batch_exact(spark):
     """The streaming window agg run in batch mode (watermark no-op)."""
     import datetime as dt
