@@ -61,9 +61,28 @@ def main() -> None:
         "webxtract-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        # UI stays on so per-pass executor CPU/GC can be read back from
+        # the status REST API — separates engine time from host noise.
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    import urllib.request
+
+    app_id = spark.sparkContext.applicationId
+    ui_base = spark.sparkContext.uiWebUrl
+
+    def _exec_totals() -> tuple[float, float, float]:
+        """(cpu core-sec, gc sec, run core-sec) summed over completed stages."""
+        try:
+            url = f"{ui_base}/api/v1/applications/{app_id}/stages?status=complete"
+            data = json.load(urllib.request.urlopen(url, timeout=10))
+            cpu = sum(s["executorCpuTime"] for s in data) / 1e9
+            gc = sum(s["jvmGcTime"] for s in data) / 1e3
+            run = sum(s["executorRunTime"] for s in data) / 1e3
+            return cpu, gc, run
+        except Exception:
+            return (0.0, 0.0, 0.0)
 
     corpus = _corpus_path(sf)
     pages = spark.read.parquet(corpus)
@@ -74,31 +93,46 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    passes: dict[str, dict] = {}
 
-    def run(name, thunk):  # noqa: ANN001
-        """Best-of-2: the first pass pays one-off per-JVM costs (janino
-        compile, Python worker spawn, page cache) that a long-running
-        cluster job amortizes over thousands of tasks; the min is the
-        steady-state number, the cold first pass is reported alongside.
-        Also damps this shared sandbox's tenancy noise (~2x run-to-run
-        on identical code)."""
-        walls = []
-        for _ in range(2):
+    def run(name, thunk, n=2):  # noqa: ANN001
+        """Min-of-N: the first pass pays one-off per-JVM costs (janino
+        compile, JIT tiering, Python worker spawn, page cache) that a
+        long-running cluster job amortizes over thousands of tasks; the
+        min is the steady-state number, every wall is recorded so the
+        convergence (and any host-noise outlier) stays auditable. Per
+        pass, executor CPU / GC / run-time deltas from the status API
+        separate engine time from shared-host scheduling noise."""
+        walls, cpus_, gcs, runs = [], [], [], []
+        for _ in range(n):
+            c0, g0, r0 = _exec_totals()
             t0 = time.perf_counter()
             thunk()
             walls.append(round(time.perf_counter() - t0, 3))
+            c1, g1, r1 = _exec_totals()
+            cpus_.append(round(c1 - c0, 2))
+            gcs.append(round(g1 - g0, 2))
+            runs.append(round(r1 - r0, 2))
         timings[name] = min(walls)
         cold[name] = walls[0]
+        passes[name] = {
+            "walls": walls,
+            "cpu_core_s": cpus_,
+            "gc_s": gcs,
+            "run_core_s": runs,
+        }
 
     # headline: the full extraction+validation pipeline over the
-    # BASELINE-shaped page corpus
+    # BASELINE-shaped page corpus. N=4: the first passes additionally
+    # pay HotSpot C2 tiering of the interpreted rule layer; the pass
+    # walls + CPU deltas in "passes" show the convergence explicitly.
     run("extract_pipeline", lambda: _force(
         run_pipeline(spark.read.parquet(corpus), run_date="2026-01-15")
-    ))
+    ), n=4)
     # extraction only (the north-rule throughput metric)
     from webxtract.ops.extract import extract_pages
 
-    run("extract_only", lambda: _force(extract_pages(spark.read.parquet(corpus))))
+    run("extract_only", lambda: _force(extract_pages(spark.read.parquet(corpus))), n=3)
 
     # operator benchmarks over the driver tables
     for name, fn in [
@@ -136,6 +170,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_first_pass": cold,
+                "passes": passes,
                 "sf": sf,
                 "extraction_docs": n_docs,
                 "extraction_bytes": int(n_bytes),

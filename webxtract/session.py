@@ -32,6 +32,8 @@ def get_spark(
     if master:
         builder = builder.master(master)
 
+    driver_mem = os.environ.get("WEBXTRACT_DRIVER_MEM", "32g")
+
     conf = {
         # Determinism: frozen zone for all timestamp/date arithmetic.
         "spark.sql.session.timeZone": "UTC",
@@ -59,7 +61,7 @@ def get_spark(
         # local mode: driver heap hosts all executor threads, each of
         # which deserializes its own copy of the (large) task binary —
         # size generously on the 128 GiB sandbox
-        "spark.driver.memory": os.environ.get("WEBXTRACT_DRIVER_MEM", "32g"),
+        "spark.driver.memory": driver_mem,
         # Throughput GC: the interpreted rule layer (HOF expressions)
         # allocates heavily, and G1's pause-time-targeted collection
         # left stage-level GC time equal to task CPU time (event-log
@@ -67,12 +69,27 @@ def get_spark(
         # stage). ParallelGC on the same 100k-doc pipeline: 112s -> 50s
         # typical, 20s best (ZGC measures similarly; ParallelGC is the
         # standard batch-throughput choice). Executor option is a no-op
-        # in local mode but documents the cluster setting.
-        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
-        "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+        # in local mode but documents the cluster setting (a real
+        # executor would pin -Xms to spark.executor.memory the same way).
     }
     if extra_conf:
         conf.update(extra_conf)
+    # -Xms == -Xmx with adaptive sizing off: ParallelGC otherwise starts
+    # from the tiny default initial heap and spends the first ~2 full
+    # passes growing it under allocation pressure — measured 565 core-s
+    # of GC in one 128-task stage on the default ramp vs 8.6 core-s with
+    # the heap pinned (100k-doc pipeline: first-pass wall 87.6s -> 49.1s,
+    # steady state 11.8s -> 7.7s). A long-running cluster executor pays
+    # the ramp once; pinning makes every task see steady-state GC.
+    # Derived from the *effective* driver memory (tests pass 4g via
+    # extra_conf); an explicit extraJavaOptions in extra_conf wins.
+    gc_opts = (
+        "-XX:+UseParallelGC "
+        f"-Xms{conf.get('spark.driver.memory', driver_mem)} "
+        "-XX:-UseAdaptiveSizePolicy"
+    )
+    conf.setdefault("spark.driver.extraJavaOptions", gc_opts)
+    conf.setdefault("spark.executor.extraJavaOptions", gc_opts)
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
