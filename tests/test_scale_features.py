@@ -393,10 +393,40 @@ def test_near_dup_bucket_cap(spark):
     got = {(r["a"], r["b"]) for r in capped.collect()}
     assert got == {(100, 101)}  # hot bucket dropped, small bucket kept
 
+    # unbounded generation is the explicit opt-in (None), not the default
     uncapped = near_dup_pairs(
         df, threshold=0.99, dim=dim, planes_per_band=4, n_bands=2,
+        max_bucket_size=None,
     )
     assert uncapped.count() == 20 * 19 / 2 + 1
+
+
+def test_pair_generator_caps_default_on(spark):
+    """The hot-bucket guards must protect with DEFAULT arguments: a
+    bucket larger than the default cap (1000) is dropped without any
+    caller opt-in, for both the embedding and the minhash generator."""
+    from webxtract.dedup import minhash_lsh_pairs
+    from webxtract.similarity import near_dup_pairs
+
+    dim = 8
+    hot = [1.0] * dim
+    rows = [(i, hot) for i in range(1050)]
+    rows += [(2000, [1.0, -1.0] * 4), (2001, [1.0, -1.0] * 4)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    got = {
+        (r["a"], r["b"])
+        for r in near_dup_pairs(df, threshold=0.99, dim=dim).collect()
+    }
+    assert got == {(2000, 2001)}
+
+    base = "aa bb cc dd ee ff gg hh"
+    docs = [(i, base) for i in range(1050)]
+    docs += [(2000, "xx yy zz ww vv uu tt ss"), (2001, "xx yy zz ww vv uu tt rr")]
+    ddf = spark.createDataFrame(docs, schema="doc_id long, text string")
+    pairs = {
+        (r["a"], r["b"]) for r in minhash_lsh_pairs(ddf, threshold=0.5).collect()
+    }
+    assert pairs == {(2000, 2001)}
 
 
 def test_minhash_banding_finds_planted_near_dup(spark):

@@ -140,6 +140,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_k: int = 2,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (a < b) with exact Jaccard
     verification of band-bucket candidates.
@@ -147,6 +148,11 @@ def minhash_lsh_pairs(
     Scale shape: explode to (band, band_hash) keys -> shuffle on the
     bucket key only -> self-join inside buckets (tiny groups) -> exact
     verify. No all-pairs shuffle; skewed buckets are split by AQE.
+    ``max_bucket_size`` (default ON) drops band-buckets holding more
+    docs than the cap before the self-join: a bucket that large is a
+    boilerplate/near-constant signature cluster, and all-pairs inside
+    it is quadratic poison at 10^12 docs. Unbounded generation is the
+    explicit opt-in (``max_bucket_size=None``).
 
     The input is hash-repartitioned on the id first: signature hashing
     is the CPU-heavy stage and must use every core even when the scan
@@ -190,6 +196,14 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "id", F.posexplode("bands").alias("band", "band_hash")
     )
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        keep = sizes.filter(F.col("n") <= max_bucket_size).select(
+            "band", "band_hash"
+        )
+        buckets = buckets.join(keep, ["band", "band_hash"])
     cand = (
         buckets.alias("l")
         .join(

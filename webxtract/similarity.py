@@ -157,7 +157,7 @@ def near_dup_pairs(
     dim: int = 64,
     planes_per_band: int = 16,
     n_bands: int = 2,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
     per band, bucket by a ``planes_per_band``-bit signed-projection
@@ -171,7 +171,9 @@ def near_dup_pairs(
     buckets outright (a bucket holding more vectors than the cap is a
     near-constant region; all-pairs inside it is quadratic poison at
     10^12 rows, and its pairs are recoverable by raising the cap or
-    adding planes)."""
+    adding planes). The cap is ON by default — at 10^12 rows hot
+    buckets are a certainty, so unbounded generation is the explicit
+    opt-in (``max_bucket_size=None``), not the default."""
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
