@@ -328,7 +328,7 @@ def _derived_fields_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 13-field records derived from doc_id — each modulo
     class lands in a known detection-cascade branch."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 7
     cols = {name: F.lit(None).cast("string") for name in FIELD_NAMES}
     cols["document_title"] = (
         F.when(m == 0, "Driver Licence Ontario")
@@ -342,6 +342,13 @@ def _derived_fields_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m == 1, "CAN").when(m == 2, "JPN").otherwise(F.lit(None))
     )
     cols["document_number"] = F.when(m == 5, "83741265").otherwise(F.lit(None))
+    # class 6 falls through steps 1+2 into the D7 scoring table: the
+    # California row scores 3+ keyword hits (capped 0.45) with the
+    # per-keyword feature string — verified identical to the reference
+    # detector run in-process on the same record
+    cols["address"] = F.when(
+        m == 6, "Sacramento, State of California DMV office"
+    ).otherwise(F.lit(None))
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
@@ -356,6 +363,7 @@ def q_doc_type_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dt["confidence"], 2).alias("confidence"),
         dt["country"].alias("country"),
         dt["state_province"].alias("state_province"),
+        F.array_join(dt["detected_features"], "; ").alias("detected_features"),
     )
 
 

@@ -12,9 +12,11 @@ is a constant-folded *literal array of structs* scanned with
 filter/transform/aggregate higher-order functions — ONE copy of each
 matching/scoring expression in the plan instead of one inlined
 when-branch per rule row. detected_features strings are reproduced for
-the step-1/2 branches; step-3's per-keyword feature strings are
-simplified to a single marker (documented divergence — the scores and
-chosen types are exact). No joins, no shuffles, no Python.
+ALL branches, including step-3's per-component features
+("country_code_match: ...", "document_number_format_match",
+"keywords_found: <matched keywords in table order>",
+"ontario_address_indicator: <first hit>" — detector :592-649). No
+joins, no shuffles, no Python.
 """
 
 from __future__ import annotations
@@ -30,6 +32,10 @@ from webxtract.schemas import FIELD_NAMES
 
 def _lit_s(v) -> Column:  # noqa: ANN001
     return F.lit(v) if v is not None else F.lit(None).cast("string")
+
+
+def _empty_sarr() -> Column:
+    return F.array().cast("array<string>")
 
 
 def _contains_any(text: Column, keywords: list[str]) -> Column:
@@ -282,7 +288,10 @@ def _score_patterns_array() -> Column:
                 _lit_s(cc if (cc and "passport" in name.lower()) else None).alias("cc"),
                 _lit_s(state).alias("state"),
                 _lit_s(fmt).alias("fmt"),
-                F.array(*[F.lit(k.lower()) for k in keywords]).alias("keywords"),
+                # original case: the reference matches on keyword.lower()
+                # but interpolates the keyword as written into the
+                # "keywords_found: ..." feature (detector :628-637)
+                F.array(*[F.lit(k) for k in keywords]).alias("keywords"),
                 F.lit(dtype == "ontario_drivers_license").alias("ontario_bonus"),
             )
         )
@@ -512,49 +521,78 @@ def doc_type_expr(prefix: str = "") -> Column:
     ont_inds = F.array(*[F.lit(i) for i in _ONTARIO_ADDR_INDICATORS])
     addr_lower = F.lower(address)
 
-    def _score(p: Column) -> Column:
-        s = F.when(
-            p["cc"].isNotNull() & (country_code != "") & (country_code == p["cc"]),
-            0.5,
-        ).otherwise(0.0)
-        s = s + F.when(
+    def _score_feats(p: Column) -> tuple[Column, Column]:
+        """(score, detected_features) exactly as _calculate_match_score
+        (detector :592-649): one feature string per scoring component,
+        in component order; keywords_found lists matched keywords in
+        table order; the Ontario address feature names the FIRST
+        matching indicator (the reference breaks on first hit)."""
+        cc_hit = p["cc"].isNotNull() & (country_code != "") & (country_code == p["cc"])
+        fmt_hit = (
             p["fmt"].isNotNull()
             & (doc_number_upper != "")
-            & F.regexp_like(doc_number_upper, p["fmt"]),
-            0.4,
-        ).otherwise(0.0)
-        kw_hits = F.size(
-            F.filter(p["keywords"], lambda k: F.contains(full_text_lower, k))
+            & F.regexp_like(doc_number_upper, p["fmt"])
         )
-        s = s + F.when(
-            kw_hits > 0, F.least(kw_hits.cast("double") * 0.15, F.lit(0.45))
-        ).otherwise(0.0)
-        s = s + F.when(
-            p["ontario_bonus"]
-            & F.exists(
+        matched_kws = F.filter(
+            p["keywords"], lambda k: F.contains(full_text_lower, F.lower(k))
+        )
+        kw_hits = F.size(matched_kws)
+        ont_first = F.element_at(
+            F.filter(
                 ont_inds,
                 lambda i: F.contains(addr_lower, i) | F.contains(full_text_lower, i),
             ),
-            0.15,
-        ).otherwise(0.0)
-        return s
+            1,
+        )
+        ont_hit = p["ontario_bonus"] & ont_first.isNotNull()
+        s = (
+            F.when(cc_hit, 0.5).otherwise(0.0)
+            + F.when(fmt_hit, 0.4).otherwise(0.0)
+            + F.when(
+                kw_hits > 0, F.least(kw_hits.cast("double") * 0.15, F.lit(0.45))
+            ).otherwise(0.0)
+            + F.when(ont_hit, 0.15).otherwise(0.0)
+        )
+        feats = F.concat(
+            F.when(
+                cc_hit,
+                F.array(F.concat(F.lit("country_code_match: "), country_code)),
+            ).otherwise(_empty_sarr()),
+            F.when(fmt_hit, F.array(F.lit("document_number_format_match"))).otherwise(
+                _empty_sarr()
+            ),
+            F.when(
+                kw_hits > 0,
+                F.array(
+                    F.concat(F.lit("keywords_found: "), F.array_join(matched_kws, ", "))
+                ),
+            ).otherwise(_empty_sarr()),
+            F.when(
+                ont_hit,
+                F.array(F.concat(F.lit("ontario_address_indicator: "), ont_first)),
+            ).otherwise(_empty_sarr()),
+        )
+        return s, feats
 
-    scored = F.transform(
-        _score_patterns_array(),
-        lambda p: F.struct(
-            _score(p).alias("score"),
+    def _scored_struct(p: Column) -> Column:
+        s, feats = _score_feats(p)
+        return F.struct(
+            s.alias("score"),
             p["dtype"].alias("dtype"),
             p["dname"].alias("dname"),
             p["country"].alias("country"),
             p["state"].alias("state"),
-        ),
-    )
+            feats.alias("feats"),
+        )
+
+    scored = F.transform(_score_patterns_array(), _scored_struct)
     zero = F.struct(
         F.lit(-1.0).alias("score"),
         F.lit(None).cast("string").alias("dtype"),
         F.lit(None).cast("string").alias("dname"),
         F.lit(None).cast("string").alias("country"),
         F.lit(None).cast("string").alias("state"),
+        _empty_sarr().alias("feats"),
     )
     best = F.aggregate(
         scored, zero, lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc)
@@ -590,7 +628,7 @@ def doc_type_expr(prefix: str = "") -> Column:
                 b["score"] >= 0.3,
                 _type_struct(
                     b["dtype"], b["score"], b["country"], b["state"],
-                    b["dname"], ["pattern_score_match"],
+                    b["dname"], b["feats"],
                 ),
             ).otherwise(last_resort),
         ),

@@ -196,25 +196,35 @@ FROM documents
 ORACLES["doc_type_cascade"] = """
 SELECT
   doc_id,
-  CASE doc_id % 6
+  CASE doc_id % 7
     WHEN 0 THEN 'ontario_drivers_license'
     WHEN 1 THEN 'canadian_passport'
     WHEN 2 THEN 'japan_passport'
     WHEN 3 THEN 'ontario_health_card'
     WHEN 4 THEN 'canada_pr_card'
-    ELSE 'saskatchewan_drivers_license'
+    WHEN 5 THEN 'saskatchewan_drivers_license'
+    ELSE 'california_drivers_license'
   END AS document_type,
-  CASE doc_id % 6
+  CASE doc_id % 7
     WHEN 0 THEN 0.85 WHEN 1 THEN 0.9 WHEN 2 THEN 0.85
-    WHEN 3 THEN 0.9 WHEN 4 THEN 0.9 ELSE 0.7
+    WHEN 3 THEN 0.9 WHEN 4 THEN 0.9 WHEN 5 THEN 0.7 ELSE 0.45
   END AS confidence,
-  CASE doc_id % 6
-    WHEN 2 THEN 'Japan' ELSE 'Canada'
+  CASE doc_id % 7
+    WHEN 2 THEN 'Japan' WHEN 6 THEN 'United States' ELSE 'Canada'
   END AS country,
-  CASE doc_id % 6
+  CASE doc_id % 7
     WHEN 0 THEN 'Ontario' WHEN 3 THEN 'Ontario'
-    WHEN 5 THEN 'Saskatchewan' ELSE NULL
-  END AS state_province
+    WHEN 5 THEN 'Saskatchewan' WHEN 6 THEN 'California' ELSE NULL
+  END AS state_province,
+  CASE doc_id % 7
+    WHEN 0 THEN 'dl_keyword_found; province: ontario'
+    WHEN 1 THEN 'passport_keyword_found; country_code: CAN'
+    WHEN 2 THEN 'passport_keyword_found; country_code: JPN'
+    WHEN 3 THEN 'health_card_keyword_found; province: ontario'
+    WHEN 4 THEN 'pr_card_keyword_found; country: Canada'
+    WHEN 5 THEN 'document_number_format_match; pattern: ^\\d{8}$'
+    ELSE 'keywords_found: california, ca, dmv, state of california'
+  END AS detected_features
 FROM documents
 """
 
