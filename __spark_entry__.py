@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_consecutive": wrap(c.q_ngram_jaccard_consecutive),
         "minhash_lsh_pairs": wrap(c.q_minhash_lsh_pairs),
         "simhash_groups": wrap(c.q_simhash_groups),
+        "simhash_near_dup": wrap(c.q_simhash_near_dup),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

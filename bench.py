@@ -147,6 +147,7 @@ def main() -> None:
         ("cosine_topk", contract.q_cosine_topk),
         ("minhash_lsh_pairs", contract.q_minhash_lsh_pairs),
         ("simhash_groups", contract.q_simhash_groups),
+        ("simhash_near_dup", contract.q_simhash_near_dup),
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),

@@ -429,6 +429,53 @@ def test_pair_generator_caps_default_on(spark):
     assert pairs == {(2000, 2001)}
 
 
+def _py_simhash(text: str, bits: int = 32) -> int:
+    """Pure-Python replica of dedup.simhash_expr (md5-60bit token hash,
+    sign-of-bit-sums) for planting fixtures."""
+    import hashlib
+
+    toks = text.strip().split()
+    sums = [0] * bits
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for b in range(bits):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    return sum((1 << b) for b in range(bits) if sums[b] > 0)
+
+
+def test_simhash_near_dup_planted_bit_flip(spark):
+    """A planted pair at hamming distance exactly 1 is found by the
+    banded near-dup operator (and missed by hamming-0 grouping); an
+    unrelated far document is not paired."""
+    from webxtract.dedup import simhash_dedup, simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    # search for an appended token that flips exactly one fingerprint bit
+    flip = None
+    for i in range(10000):
+        cand = f"{base} tok{i}"
+        d = bin(_py_simhash(base) ^ _py_simhash(cand)).count("1")
+        if d == 1:
+            flip = cand
+            break
+    assert flip is not None, "no 1-bit-flip token found in search budget"
+
+    far = "completely different subject matter entirely unrelated words galore everywhere"
+    assert bin(_py_simhash(base) ^ _py_simhash(far)).count("1") > 3
+
+    df = spark.createDataFrame(
+        [(0, base), (1, flip), (2, far)], schema="doc_id long, text string"
+    )
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, max_hamming=1).collect()
+    }
+    assert pairs == {(0, 1): 1}
+    # hamming-0 grouping treats them as distinct
+    groups = simhash_dedup(df).collect()
+    assert all(g["dup_count"] == 1 for g in groups)
+
+
 def test_minhash_banding_finds_planted_near_dup(spark):
     """End-to-end MinHash-LSH sanity on planted near-duplicates."""
     from webxtract.dedup import minhash_lsh_pairs

@@ -500,6 +500,22 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=k near-dup pairs: docs under 150 plus copies
+    (id+100000) with one appended token — each copy lands a small
+    hamming distance from its source, most within the budget. Banded
+    candidate generation + exact bit_count verify; the DuckDB oracle
+    computes the same pairs by brute-force all-pairs hamming (the
+    banding is exact-recall by pigeonhole, so the two agree)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    near = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(near)
+    return dedup.simhash_near_dup_pairs(both, max_hamming=3).orderBy("a", "b")
+
+
 # ------------------------------------------------------------ similarity
 
 

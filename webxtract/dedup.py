@@ -241,6 +241,73 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (a < b, hamming distance <=
+    ``max_hamming``) via the standard bit-band trick: split the
+    fingerprint into ``max_hamming + 1`` bands — any pair within the
+    distance budget must agree EXACTLY on at least one band
+    (pigeonhole), so candidates are same-(band, band_value) pairs and
+    the exact ``bit_count(xor)`` verify gives 100% recall at the
+    threshold.
+
+    Scale shape: the posting rows carry (id, simhash, band, band_value)
+    — one bigint of payload, no text — so the bucket shuffle is as
+    cheap as the key itself; ``max_bucket_size`` (default ON) drops
+    degenerate bands (e.g. the all-zeros band of near-empty documents)
+    before the quadratic self-join, same contract as the other pair
+    generators."""
+    n_bands = max_hamming + 1
+    base = bits // n_bands
+    sizes = [base + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    offs = [sum(sizes[:i]) for i in range(n_bands)]
+
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_expr(F.col(text_col), bits).alias("sh")
+    )
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("sh"), offs[i]).bitwiseAND(
+                F.lit((1 << sizes[i]) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    posting = sh.select(
+        "id", "sh", F.posexplode(band_vals).alias("band", "bval")
+    )
+    if max_bucket_size is not None:
+        counts = posting.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("n"))
+        keep = counts.filter(F.col("n") <= max_bucket_size).select("band", "bval")
+        posting = posting.join(keep, ["band", "bval"])
+    cand = (
+        posting.alias("l")
+        .join(
+            posting.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.sh").alias("sha"),
+            F.col("r.sh").alias("shb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return cand.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -443,6 +443,33 @@ FROM t
 """
 
 
+ORACLES["simhash_near_dup"] = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id < 150
+),
+t AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                   tk -> {{h}}) AS th
+  FROM docs
+),
+sh AS (
+  SELECT doc_id,
+    (list_sum(list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(th,
+             h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
+           THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS simhash
+  FROM t
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+ORDER BY a, b
+""".format(h=_H60.format(s='tk'))
+
 # ------------------------------------------------------------ similarity
 
 
