@@ -18,7 +18,9 @@ def spark():
         app_name="webxtract-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+        # UI on (random port): the audit's per-task wall_ms reads the
+        # status REST API, and tests assert it is populated
+        extra_conf={"spark.ui.port": "0", "spark.driver.memory": "4g"},
     )
     yield spark
 

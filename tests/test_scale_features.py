@@ -48,6 +48,10 @@ def test_audit_and_resume(spark, corpus, tmp_path):
     r1 = audit_df[audit_df["run_id"] == "run-1"]
     assert r1["url_count"].sum() == 200
     assert (r1["bytes_in"] >= 0).all()
+    # wall_ms: per write-task scheduler wall, non-null and plausible
+    assert audit_df["wall_ms"].notna().all()
+    assert (audit_df["wall_ms"] > 0).all()
+    assert (audit_df["wall_ms"] < 600_000).all()
     # run-2's audit covers ONLY run-2's increment
     r2 = audit_df[audit_df["run_id"] == "run-2"]
     assert r2["url_count"].sum() == pages.count() - 200
@@ -96,6 +100,9 @@ def test_hot_host_salting_spreads_partitions(spark):
     sizes = {r["pid"]: r["count"] for r in parts}
     assert len(sizes) >= 2           # the hot host is NOT one task
     assert max(sizes.values()) < 2000
+    # ...but bounded locality: one host lands in at most salt_hot_hosts
+    # buckets (the (host, shard) key), not scattered over all 16
+    assert len(sizes) <= 4
     # deterministic: same input -> same spread
     parts2 = (
         partition_by_url(df, 16)

@@ -23,16 +23,21 @@ def partition_by_url(
     num_partitions: int,
     salt_hot_hosts: int = 4,
 ) -> DataFrame:
-    """Repartition by url-hash with host-salting.
+    """Repartition by (host, shard) — bounded host locality.
 
-    Plain hash(url) already spreads rows, but task *byte* weight skews
-    when one host contributes most of the bytes (Zipf hosts) because
-    its pages also tend to be uniformly large; salting by a per-row
-    shard id keeps any single (host, shard) bucket bounded. The salt
-    is derived from the url hash itself — deterministic, no RNG.
-    """
-    salt = (F.xxhash64("url") % salt_hot_hosts).cast("int")
-    key = F.xxhash64(F.concat_ws("#", F.col("url"), salt.cast("string")))
+    Partitioning on plain hash(url) spreads rows but scatters every
+    host across ALL partitions; partitioning on host alone serializes
+    a Zipf-hot host into one task. The (host, shard) key with
+    shard = xxhash64(url) % salt_hot_hosts keeps each host's pages in
+    at most ``salt_hot_hosts`` buckets (locality for per-host work:
+    robots/rate metadata reuse, per-host dedup) while guaranteeing no
+    host exceeds ~1/salt_hot_hosts of its bytes per task. Deterministic
+    — the shard comes from the url hash, no RNG."""
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    shard = F.pmod(F.xxhash64("url"), F.lit(salt_hot_hosts)).cast("int")
+    key = F.xxhash64(
+        F.concat_ws("#", F.coalesce(host, F.col("url")), shard.cast("string"))
+    )
     return df.repartition(num_partitions, key)
 
 
@@ -43,25 +48,46 @@ def with_partition_metrics(df: DataFrame) -> DataFrame:
     return df.withColumn("__pid", F.spark_partition_id())
 
 
-def audit_rows(extracted: DataFrame, run_id: str) -> DataFrame:
+def audit_rows(
+    extracted: DataFrame,
+    run_id: str,
+    wall_by_pid: dict[int, float] | None = None,
+) -> DataFrame:
     """Per-partition lineage + metrics: url_count, bytes_in,
-    parse_failures (north_rule audit table)."""
-    return (
-        with_partition_metrics(extracted)
-        .groupBy("__pid")
-        .agg(
-            F.count(F.lit(1)).alias("url_count"),
-            F.sum("n_bytes").alias("bytes_in"),
-            F.sum(F.col("parse_failure").cast("long")).alias("parse_failures"),
+    parse_failures, wall_ms (north_rule audit table; the reference's
+    per-request processingTimeMs, middleware.py:68,127, becomes a
+    per-partition task wall).
+
+    If the frame already carries a ``partition_id`` column (recorded by
+    the writer via spark_partition_id()) it is used as-is — essential
+    for read-back audits, where recomputing partition ids would reflect
+    the read split layout, not the write tasks. ``wall_by_pid`` maps
+    write-task index -> task duration ms (from the scheduler's task
+    metrics); it is tiny (one entry per task) and joined broadcast."""
+    base = extracted
+    if "partition_id" not in base.columns:
+        base = with_partition_metrics(base).withColumnRenamed("__pid", "partition_id")
+    agg = base.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("url_count"),
+        F.sum("n_bytes").alias("bytes_in"),
+        F.sum(F.col("parse_failure").cast("long")).alias("parse_failures"),
+    )
+    if wall_by_pid:
+        spark = extracted.sparkSession
+        walls = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in wall_by_pid.items()],
+            schema="partition_id int, wall_ms double",
         )
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.col("__pid").alias("partition_id"),
-            "url_count",
-            "bytes_in",
-            "parse_failures",
-            F.lit(None).cast("double").alias("wall_ms"),
-        )
+        agg = agg.join(F.broadcast(walls), "partition_id", "left")
+    else:
+        agg = agg.withColumn("wall_ms", F.lit(None).cast("double"))
+    return agg.select(
+        F.lit(run_id).alias("run_id"),
+        "partition_id",
+        "url_count",
+        "bytes_in",
+        "parse_failures",
+        "wall_ms",
     )
 
 
@@ -105,7 +131,14 @@ def run_extraction_job(
     todo = resume_filter(pages, output_path, spark)
     if num_partitions:
         todo = partition_by_url(todo, num_partitions)
-    extracted = extract_pages(todo).withColumn("run_id", F.lit(run_id))
+    extracted = (
+        extract_pages(todo)
+        .withColumn("run_id", F.lit(run_id))
+        # recorded at write time: spark_partition_id() in the write
+        # stage IS the write task index, so the read-back audit can
+        # group by the producing task and join its scheduler wall time
+        .withColumn("partition_id", F.spark_partition_id())
+    )
 
     obs = Observation(f"webxtract-{run_id}")
     observed = extracted.observe(
@@ -116,11 +149,18 @@ def run_extraction_job(
             "failures"
         ),
     )
-    observed.write.mode("append").partitionBy("run_id").parquet(output_path)
+    group = f"webxtract-write-{run_id}"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "extraction write", False)
+    try:
+        observed.write.mode("append").partitionBy("run_id").parquet(output_path)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
     stats = obs.get
+    walls = _task_walls_for_group(spark, group)
 
     this_run = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
-    audit = audit_rows(this_run.drop("run_id"), run_id)
+    audit = audit_rows(this_run.drop("run_id"), run_id, wall_by_pid=walls)
     audit.write.mode("append").parquet(audit_path)
 
     return {
@@ -129,6 +169,45 @@ def run_extraction_job(
         "bytes_in": stats["bytes_in"],
         "parse_failures": stats["failures"],
     }
+
+
+def _task_walls_for_group(spark: SparkSession, group: str) -> dict[int, float]:
+    """Per-task wall-clock of the write stage, {task index: duration ms},
+    from the status REST API (the same task metrics a cluster history
+    server records). Returns {} when the UI/REST endpoint is disabled —
+    wall_ms then stays NULL rather than failing the job."""
+    import json
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return {}
+    try:
+        tracker = sc.statusTracker()
+        stage_ids: list[int] = []
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info:
+                stage_ids.extend(info.stageIds)
+        if not stage_ids:
+            return {}
+        # the ResultStage of the write job has the highest stage id
+        sid = max(stage_ids)
+        url = (
+            f"{base}/api/v1/applications/{sc.applicationId}"
+            f"/stages/{sid}?details=true"
+        )
+        attempts = json.load(urllib.request.urlopen(url, timeout=10))
+        walls: dict[int, float] = {}
+        for att in attempts:
+            for task in (att.get("tasks") or {}).values():
+                idx, dur = task.get("index"), task.get("duration")
+                if idx is not None and dur is not None:
+                    walls[int(idx)] = float(dur)
+        return walls
+    except Exception:
+        return {}
 
 
 def _exists(path: str, spark: SparkSession) -> bool:
