@@ -140,6 +140,104 @@ def test_streaming_checkpoint_exactly_once(spark, corpus, tmp_path):
     assert res.count() == 40 + len(expected)
 
 
+def test_pipeline_stream_end_to_end(spark, corpus, tmp_path):
+    """The FULL pipeline (extract -> fields -> type -> fake ->
+    validators -> summary) in streaming mode from a drop directory:
+    flagship output schema present, exactly-once across stop/restart."""
+    from webxtract.streaming import start_pipeline_stream
+
+    pages_path, expected = corpus
+    src = spark.read.parquet(pages_path)
+    drops = str(tmp_path / "pdrops")
+    out = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    src.limit(40).coalesce(1).write.mode("append").parquet(drops)
+    q = start_pipeline_stream(spark, drops, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    res1 = spark.read.parquet(out)
+    assert res1.count() == 40
+    for c in (
+        "url", "extracted_text", "source_kind", "parse_failure", "doc_type",
+        "fake_detection", "validation_results", "validation_summary",
+        "integrity_summary", "success",
+    ):
+        assert c in res1.columns, c
+
+    # restart with the same checkpoint over drops A+B: only B processed
+    src.coalesce(1).write.mode("append").parquet(drops)
+    q2 = start_pipeline_stream(spark, drops, out, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 40 + len(expected)
+
+    # streamed results equal the batch pipeline on the same input
+    from webxtract.pipeline import run_pipeline
+
+    batch = run_pipeline(src, run_date="2026-01-15").select(
+        "url", "success", "validation_summary.overall_status"
+    )
+    stream_rows = {
+        r["url"]: (r["success"], r["overall_status"])
+        for r in spark.read.parquet(out)
+        .select("url", "success", "validation_summary.overall_status")
+        .collect()
+    }
+    for r in batch.collect():
+        assert stream_rows[r["url"]] == (r["success"], r["overall_status"])
+
+
+def test_sessionize_stream_out_of_order_merge(spark, tmp_path):
+    """An out-of-order event (within the watermark, arriving in a later
+    microbatch) must merge into the open session without rewinding its
+    bounds: session_end stays at the true max event time."""
+    import datetime as dt
+
+    from webxtract.streaming import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    # file 1: events at t0, t0+10; file 2: a LATE event at t0+5 (out of
+    # order but within the 1h watermark), then file 3: an event at
+    # t0+50 — 40min after the true last (t0+10): within the 30min gap
+    # of a REWOUND last (t0+5 + 30 < 50 would close early) but the fix
+    # keeps last=10min, so 50-10=40 > 30 closes the session correctly
+    # with end at t0+10, not t0+5.
+    files = [
+        [(1, 1, mins(0), 1.0), (1, 2, mins(10), 1.0)],
+        [(1, 3, mins(5), 1.0)],
+        [(1, 4, mins(50), 1.0)],
+    ]
+    drops = str(tmp_path / "oood")
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{drops}/f{i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{drops}/f*")
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+    sink = str(tmp_path / "oood_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "oood_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    closed = rows[0]
+    assert closed["session_start"] == mins(0)
+    assert closed["session_end"] == mins(10)  # NOT rewound to mins(5)
+    assert closed["n_events"] == 3
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     """applyInPandasWithState sessionizer: sessions that span microbatch
     boundaries continue via state; a session closes (and emits) as soon

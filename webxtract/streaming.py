@@ -59,6 +59,37 @@ def start_extraction_stream(
     return writer.start()
 
 
+def start_pipeline_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    run_date: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """pages stream -> FULL pipeline (extract -> fields -> type ->
+    fake -> validators -> summary) -> append parquet sink.
+
+    Everything after extraction is a stateless projection, so the whole
+    batch pipeline lifts onto the stream unchanged; the salted url-hash
+    exchange inside run_pipeline becomes a per-microbatch shuffle.
+    Exactly-once via the checkpoint, as with the extraction stream."""
+    from webxtract.config import DEFAULT_RUN_DATE
+    from webxtract.pipeline import run_pipeline
+
+    stream = read_page_stream(spark, input_path)
+    out = run_pipeline(stream, run_date=run_date or DEFAULT_RUN_DATE)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ----------------------------------------------- windowed aggregation
 
 
@@ -164,7 +195,14 @@ def sessionize_stream(
                 out["total_value"].append(round(total, 6))
                 start, last, n, total = us, us, 1, float(value)
             else:
-                last, n, total = us, n + 1, total + float(value)
+                # batches are sorted internally but NOT ordered across
+                # microbatches: an out-of-order event (allowed within
+                # the watermark) must never rewind the session bounds —
+                # merge with min/max so later gap checks compare against
+                # the true session end
+                start = min(start, us)
+                last = max(last, us)
+                n, total = n + 1, total + float(value)
 
         state.update((start, last, n, total))
         # close the open session once the watermark passes last + gap
