@@ -53,20 +53,26 @@ def run_at(cores: int, corpus: str) -> dict:
     # warm-up: one full pass so codegen, parquet footers and the lazy
     # Python worker pool are all hot — the timed pass measures the
     # steady state a long-running crawl job actually operates in
+    t0 = time.perf_counter()
     extract_pages(pages).write.format("noop").mode("overwrite").save()
+    warmup_wall = round(time.perf_counter() - t0, 3)
 
-    # two timed passes, keep the best: one-off JIT/GC hiccups otherwise
-    # masquerade as scaling loss
+    # timed passes, keep the best: one-off JIT/GC hiccups otherwise
+    # masquerade as scaling loss. EVERY wall (including the warm-up) is
+    # recorded in the JSON so the efficiency number stays auditable —
+    # a regression hiding in a discarded pass would be visible here.
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         extract_pages(pages).write.format("noop").mode("overwrite").save()
-        walls.append(time.perf_counter() - t0)
+        walls.append(round(time.perf_counter() - t0, 3))
     wall = min(walls)
     spark.stop()
     return {
         "cores": cores,
-        "wall_sec": round(wall, 3),
+        "wall_sec": wall,
+        "walls": walls,
+        "warmup_wall_sec": warmup_wall,
         "docs": n_docs,
         "bytes": int(n_bytes),
         "docs_per_sec": round(n_docs / wall, 1),

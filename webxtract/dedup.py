@@ -324,7 +324,13 @@ def ngram_jaccard_pairs(
     generation (a df-cap "stop shingle" rule; such shingles are
     boilerplate and near-dup pairs sharing ONLY them are below any
     useful threshold anyway). Without the cap one hot shingle at
-    10^12 docs makes a quadratic posting-list self-join."""
+    10^12 docs makes a quadratic posting-list self-join.
+
+    Recall contract of the default cap: a pair whose EVERY shared
+    shingle is corpus-common (> max_doc_freq docs) never becomes a
+    candidate, even above ``threshold`` — by construction such a pair
+    is made of boilerplate. Callers needing exhaustive recall on small
+    corpora pass ``max_doc_freq=None`` (the explicit opt-in)."""
     df = df.repartition(F.col(id_col))
     sh = df.select(
         F.col(id_col).alias("id"),

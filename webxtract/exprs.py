@@ -11,8 +11,38 @@ evaluation per row, with every reference a cheap lambda-var access.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def gateway_cached(maxsize: int = 4):
+    """lru_cache keyed ALSO on the active py4j gateway.
+
+    Classic-mode Column objects hold JVM expression refs through the
+    gateway; plain lru_cache would keep serving them after a gateway
+    teardown/relaunch (classic<->connect switch, crash recovery) and
+    every later call would fail until process restart. Adding the live
+    gateway's identity to the key makes a relaunch a natural cache
+    miss; stale entries age out of the small LRU."""
+
+    def deco(fn):
+        cached = functools.lru_cache(maxsize=maxsize)(
+            lambda _gw, *args, **kw: fn(*args, **kw)
+        )
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kw):
+            from pyspark import SparkContext
+
+            gw = getattr(SparkContext, "_gateway", None)
+            return cached(id(gw) if gw is not None else None, *args, **kw)
+
+        wrapper.cache_clear = cached.cache_clear
+        return wrapper
+
+    return deco
 
 
 def bind_once(value: Column, build) -> Column:  # noqa: ANN001

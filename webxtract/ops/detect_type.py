@@ -21,10 +21,11 @@ joins, no shuffles, no Python.
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from webxtract.exprs import gateway_cached
 
 from webxtract import rules
 from webxtract.schemas import FIELD_NAMES
@@ -118,7 +119,7 @@ def _country_name_expr(country_code: Column) -> Column:
     return F.create_map(*pairs)[country_code]
 
 
-@lru_cache(maxsize=4)
+@gateway_cached(maxsize=4)
 def _detection_input_exprs(prefix: str) -> tuple[dict, dict]:
     """Two withColumns batches (the second references ``__dt_ft`` from
     the first). Cached per process: expression construction is py4j-

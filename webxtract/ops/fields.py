@@ -15,10 +15,11 @@ Required-field check replicates document_extractor.py:190-201
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from webxtract.exprs import gateway_cached
 
 from webxtract.schemas import FIELD_NAMES, REQUIRED_FIELDS
 
@@ -64,7 +65,7 @@ def field_expr(text: Column, name: str) -> Column:
     return val
 
 
-@lru_cache(maxsize=4)
+@gateway_cached(maxsize=4)
 def _field_exprs(text_col: str) -> tuple:
     text = F.col(text_col)
     return tuple(field_expr(text, name).alias(name) for name in FIELD_NAMES)

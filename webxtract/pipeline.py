@@ -13,10 +13,11 @@ projection; the full-pipeline plan has zero wide dependencies
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from webxtract.exprs import gateway_cached
 
 from webxtract.config import DEFAULT_MINIMUM_AGE, DEFAULT_RUN_DATE
 from webxtract.ops.detect_type import _TMP as _DT_TMP
@@ -32,7 +33,7 @@ from webxtract.ops.validators import (
 )
 
 
-def integrity_summary_expr(fake: Column, integrity_valid: Column) -> Column:
+def integrity_summary_expr(fake: Column) -> Column:
     """X2 summary shape (claude_integrity_analyzer.get_summary,
     :228-283): issues_detected[] of (type, confidence, findings[]) plus
     is_fraudulent / confidence / risk_level / recommendation / summary.
@@ -74,7 +75,7 @@ def integrity_summary_expr(fake: Column, integrity_valid: Column) -> Column:
     )
 
 
-@lru_cache(maxsize=4)
+@gateway_cached(maxsize=4)
 def _rule_exprs(run_date: str, minimum_age: int) -> dict:
     """The full rule-layer Column set for one (run_date, minimum_age).
 
@@ -96,9 +97,7 @@ def _rule_exprs(run_date: str, minimum_age: int) -> dict:
             F.col("doc_type_enum"), run, minimum_age
         ),
         "summary": validation_summary_expr(F.col("validation_results")),
-        "integrity_summary": integrity_summary_expr(
-            F.col("fake_detection"), F.col("integrity_valid")
-        ),
+        "integrity_summary": integrity_summary_expr(F.col("fake_detection")),
     }
 
 
