@@ -197,13 +197,16 @@ def minhash_lsh_pairs(
         "id", F.posexplode("bands").alias("band", "band_hash")
     )
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("n")
+        # window count over the self-join's own shuffle key — cap for
+        # free (exchange reuse), no extra agg+join branches
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_hash")
+        buckets = (
+            buckets.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
         )
-        keep = sizes.filter(F.col("n") <= max_bucket_size).select(
-            "band", "band_hash"
-        )
-        buckets = buckets.join(keep, ["band", "band_hash"])
     cand = (
         buckets.alias("l")
         .join(
@@ -283,9 +286,14 @@ def simhash_near_dup_pairs(
         "id", "sh", F.posexplode(band_vals).alias("band", "bval")
     )
     if max_bucket_size is not None:
-        counts = posting.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("n"))
-        keep = counts.filter(F.col("n") <= max_bucket_size).select("band", "bval")
-        posting = posting.join(keep, ["band", "bval"])
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bval")
+        posting = (
+            posting.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     cand = (
         posting.alias("l")
         .join(
@@ -338,9 +346,14 @@ def ngram_jaccard_pairs(
     )
     posting = sh.select("id", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
-        doc_freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        keep = doc_freq.filter(F.col("df") <= max_doc_freq).select("shingle")
-        posting = posting.join(keep, "shingle")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        posting = (
+            posting.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     cand = (
         posting.alias("l")
         .join(

@@ -71,21 +71,32 @@ def brute_force_topk(
     )
 
 
-def bucket_expr(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Signed-random-projection bucket id (0..2^n_planes-1)."""
-    out = F.lit(0)
-    for h in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(_plane_weight(h, i)) for i in range(dim)]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        out = out + F.when(proj >= 0, F.lit(2 ** h)).otherwise(F.lit(0))
-    return out
+def _proj_sql(vec_sql: str, h: int, dim: int) -> str:
+    """Signed projection as ONE SQL expression with the plane weights
+    computed ARITHMETICALLY in-plan (same integer formula as
+    _plane_weight, and as the DuckDB oracle) instead of literal
+    arrays. Two wins at once: building the Column is one py4j call
+    instead of dim+1 per plane, and the plan carries ~20 expression
+    nodes per plane instead of ``dim`` literal nodes — AQE re-optimizes
+    the plan between stages, and tree walks over thousands of literals
+    were the dominant cost of the near-dup queries (measured 16.6s
+    build + slow replans -> sub-second)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, sequence(0, {dim - 1}), "
+        f"(x, i) -> CAST(x AS DOUBLE) * "
+        f"((({h} * 1009 + i * 9176) % 2000) / 1000.0 - 1.0)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def bucket_expr(vec_sql: str, dim: int, n_planes: int = N_PLANES) -> Column:
+    """Signed-random-projection bucket id (0..2^n_planes-1).
+    ``vec_sql`` is the vector column's SQL name/expression."""
+    terms = [
+        f"IF({_proj_sql(vec_sql, h, dim)} >= 0, {2 ** h}, 0)"
+        for h in range(n_planes)
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def lsh_topk(
@@ -117,7 +128,7 @@ def lsh_topk(
         probes += [qbucket ^ (1 << h) for h in range(n_planes)]
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
-        df.withColumn("bucket", bucket_expr(F.col(vec_col), dim, n_planes))
+        df.withColumn("bucket", bucket_expr(vec_col, dim, n_planes))
         .filter(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
@@ -129,24 +140,16 @@ def lsh_topk(
 
 
 def band_bucket_expr(
-    vec: Column, dim: int, band: int, planes_per_band: int
+    vec_sql: str, dim: int, band: int, planes_per_band: int
 ) -> Column:
     """Bucket id for one band: planes band*P .. band*P+P-1 of the shared
-    deterministic plane family."""
-    out = F.lit(0)
-    for j in range(planes_per_band):
-        h = band * planes_per_band + j
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(_plane_weight(h, i)) for i in range(dim)]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        out = out + F.when(proj >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
-    return out
+    deterministic plane family. ``vec_sql`` is the vector column's SQL
+    name/expression (see _proj_sql for why this is string-built)."""
+    terms = [
+        f"IF({_proj_sql(vec_sql, band * planes_per_band + j, dim)} >= 0, {2 ** j}, 0)"
+        for j in range(planes_per_band)
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def near_dup_pairs(
@@ -179,16 +182,24 @@ def near_dup_pairs(
         F.col(vec_col).alias("v"),
         F.array(
             *[
-                band_bucket_expr(F.col(vec_col), dim, band, planes_per_band)
+                band_bucket_expr(vec_col, dim, band, planes_per_band)
                 for band in range(n_bands)
             ]
         ).alias("buckets"),
     )
     posting = b.select("id", F.posexplode("buckets").alias("band", "bucket"))
     if max_bucket_size is not None:
-        sizes = posting.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-        keep = sizes.filter(F.col("n") <= max_bucket_size).select("band", "bucket")
-        posting = posting.join(keep, ["band", "bucket"])
+        # window count over the SAME key the self-join shuffles on: the
+        # cap costs no extra exchange (the join below reuses it) and no
+        # side agg+join plan branches
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        posting = (
+            posting.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     cand = (
         posting.alias("l")
         .join(
