@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": wrap(c.q_minhash_lsh_pairs),
         "simhash_groups": wrap(c.q_simhash_groups),
         "simhash_near_dup": wrap(c.q_simhash_near_dup),
+        "dedup_components": wrap(c.q_dedup_components),
+        "pii_redaction": wrap(c.q_pii_redaction),
+        "benchmark_overlap": wrap(c.q_benchmark_overlap),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

@@ -148,6 +148,9 @@ def main() -> None:
         ("minhash_lsh_pairs", contract.q_minhash_lsh_pairs),
         ("simhash_groups", contract.q_simhash_groups),
         ("simhash_near_dup", contract.q_simhash_near_dup),
+        ("dedup_components", contract.q_dedup_components),
+        ("pii_redaction", contract.q_pii_redaction),
+        ("benchmark_overlap", contract.q_benchmark_overlap),
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),

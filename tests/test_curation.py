@@ -1,0 +1,72 @@
+"""Curation operators: PII redaction, benchmark decontamination,
+near-dup connected components."""
+
+from pyspark.sql import functions as F
+
+
+def test_pii_redaction_exact(spark):
+    from webxtract.curation import pii_counts_exprs, redact_pii_expr
+
+    text = (
+        "Write to jane.doe+x@corp.example.co.uk or call +1 (415) 555-0199. "
+        "Card: 4111-1111-1111-1111, SIN 046 454 286, server 192.168.1.10."
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        redact_pii_expr(F.col("text")).alias("red"),
+        *[c.alias(n) for n, c in pii_counts_exprs(F.col("text")).items()],
+    ).collect()[0]
+    assert "<EMAIL>" in row["red"]
+    assert "<PHONE>" in row["red"]
+    assert "<CARD>" in row["red"]
+    assert "<ID>" in row["red"]
+    assert "<IP>" in row["red"]
+    assert "jane.doe" not in row["red"]
+    assert "4111" not in row["red"]
+    assert "192.168" not in row["red"]
+    assert row["n_email"] == 1
+    assert row["n_phone"] >= 1
+    assert row["n_card"] == 1
+    assert row["n_ipv4"] == 1
+
+    clean = spark.createDataFrame(
+        [("just regular prose with the year 2026 and room 101",)], "text string"
+    )
+    crow = clean.select(redact_pii_expr(F.col("text")).alias("red")).collect()[0]
+    assert crow["red"] == "just regular prose with the year 2026 and room 101"
+
+
+def test_benchmark_overlap_flags_contaminated(spark):
+    from webxtract.curation import benchmark_overlap
+
+    bench_text = (
+        "the held out benchmark question asks what is the capital of "
+        "france and the answer is paris obviously"
+    )
+    contaminated = (
+        "some scraped page containing the held out benchmark question "
+        "asks what is the capital of france verbatim plus other words"
+    )
+    clean = "a completely unrelated page about gardening tips and tomato soil acidity"
+    docs = spark.createDataFrame(
+        [(1, contaminated), (2, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["id"]: r["n_hits"]
+        for r in benchmark_overlap(docs, bench, shingle_k=8, min_hits=3).collect()
+    }
+    assert 1 in got and got[1] >= 3
+    assert 2 not in got
+
+
+def test_dedup_components_transitive_chain(spark):
+    from webxtract.dedup import dedup_components
+
+    # chain 1-2-3-4 (transitive, needs multiple propagation rounds) and
+    # an isolated pair 10-11; singleton 99 never appears
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {r["id"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

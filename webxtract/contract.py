@@ -500,6 +500,63 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-kind counts over documents with
+    deterministically planted PII (email derived from doc_id, a phone,
+    a card, an IP appended to every doc) — pure regexp expressions,
+    whole-stage codegen, zero shuffles."""
+    from webxtract.curation import pii_counts_exprs, redact_pii_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact j.doe"),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "@mail.example.com or call 555-123-4567,"
+                " card 4111 1111 1111 1111, host 10.0.0.1"
+            ),
+        ).alias("text"),
+    )
+    text = F.col("text")
+    counts = pii_counts_exprs(text)
+    return planted.select(
+        "doc_id",
+        redact_pii_expr(text).alias("redacted"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+
+
+def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: documents sharing >= 3 distinct word-8-gram
+    hashes with the benchmark set (doc_id < 20). The benchmark shingle
+    set is broadcast — the corpus side never shuffles."""
+    from webxtract.curation import benchmark_overlap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 20)
+    return benchmark_overlap(
+        d, bench, shingle_k=8, min_hits=3
+    ).orderBy("id")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the simhash near-dup pair graph
+    (same planted-copy construction as q_simhash_near_dup): iterative
+    min-label propagation, checked against a DuckDB recursive-CTE
+    transitive closure."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    near = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(near)
+    pairs = dedup.simhash_near_dup_pairs(both, max_hamming=3)
+    return dedup.dedup_components(pairs).orderBy("id")
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming<=k near-dup pairs: docs under 150 plus copies
     (id+100000) with one appended token — each copy lands a small

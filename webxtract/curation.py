@@ -1,0 +1,93 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+redaction and benchmark decontamination.
+
+Both are pure-expression / broadcast-join constructs — no Python on the
+hot path, no corpus-side shuffle:
+
+- redaction is regexp_replace/regexp_count over the text column
+  (whole-stage codegen);
+- decontamination joins the corpus's exploded shingle hashes against
+  the BENCHMARK's shingle set, which is small by nature (benchmarks
+  are MBs; a 100 TB corpus is the left side) — the benchmark side is
+  deduplicated and broadcast, so the corpus never shuffles and the
+  scan stays embarrassingly parallel.
+
+Regex patterns use the common Java-regex/RE2 subset (no lookaround,
+no backreferences) so the DuckDB oracles run the byte-same patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webxtract.dedup import shingle_hashes_expr
+
+# (kind, pattern, replacement) — ordered; applied sequentially.
+# Patterns stay in the Java-regex ∩ RE2 subset (see module docstring).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # +1 (555) 123-4567 / 555-123-4567 / 555.123.4567
+    ("phone", r"(\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}", "<PHONE>"),
+    # 16-digit card numbers with optional separators
+    ("card", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CARD>"),
+    # US SSN / CA SIN shaped ids
+    ("ssn", r"\b\d{3}[ -]\d{2,3}[ -]\d{3,4}\b", "<ID>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts_exprs(text: Column) -> dict[str, Column]:
+    """Per-kind match counts over the ORIGINAL text (counted before any
+    replacement so kinds do not mask each other)."""
+    return {
+        f"n_{kind}": F.regexp_count(text, F.lit(pat))
+        for kind, pat, _repl in PII_PATTERNS
+    }
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Text with every PII pattern replaced by its tag, applied in
+    PII_PATTERNS order (earlier kinds win overlapping spans, e.g. the
+    digits of a phone never re-match as an SSN fragment)."""
+    out = text
+    for _kind, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Decontamination: corpus documents sharing >= ``min_hits``
+    distinct word-``shingle_k``-gram hashes with the benchmark set
+    (the n-gram-overlap contamination rule used for held-out eval
+    hygiene, e.g. GPT-3 appendix C / PaLM-style 8-gram checks).
+
+    Returns (id, n_hits) for flagged documents. Scale shape: the
+    benchmark's DISTINCT shingle hashes are broadcast (benchmarks are
+    small by construction); the corpus side explodes to (id, hash) and
+    joins map-side — zero corpus shuffles before the per-doc count,
+    which aggregates (id, hash)-distinct hits only for matching rows.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingle_hashes_expr(F.col(text_col), shingle_k)).alias("h")
+        )
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes_expr(F.col(text_col), shingle_k)).alias("h"),
+    )
+    hits = doc_sh.join(F.broadcast(bench_sh), "h")
+    return (
+        hits.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

@@ -316,6 +316,68 @@ def simhash_near_dup_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: (id,
+    component) where component is the minimum doc id reachable through
+    the pair graph — the standard "cluster near-dups, keep one
+    canonical doc per cluster" step after any pair generator.
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge list. Each round every vertex takes min(own label, neighbors'
+    labels); convergence in O(diameter) rounds, and near-dup clusters
+    are dense (diameter is tiny — a transitive chain of length d needs
+    d rounds, which the driver loop handles). Each round is one join +
+    one aggregation; the loop materializes labels per round
+    (localCheckpoint) so lineage stays flat. At 10^12-doc scale the
+    same loop holds because labels/edges carry two bigints per row;
+    corpora with pathological chain-shaped clusters would switch to the
+    large-star/small-star variant, which this loop structure admits.
+
+    Only vertices that appear in ``pairs`` are labeled (singletons are
+    their own trivial component and never needed the shuffle)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    for _ in range(max_iterations):
+        # neighbor minimum, then min with own label
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

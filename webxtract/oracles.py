@@ -443,6 +443,112 @@ FROM t
 """
 
 
+def _pii_sql() -> str:
+    """Twin of q_pii_redaction: same planted text, same patterns (from
+    curation.PII_PATTERNS, so the two can never drift), counts on the
+    original text, replacements applied sequentially with 'g'."""
+    from webxtract.curation import PII_PATTERNS
+
+    planted = (
+        "text || ' Contact j.doe' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or call 555-123-4567,"
+        " card 4111 1111 1111 1111, host 10.0.0.1'"
+    )
+    red = "t"
+    for _kind, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
+        for kind, pat, _repl in PII_PATTERNS
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
+SELECT doc_id, {red} AS redacted, {counts} FROM p
+"""
+
+
+ORACLES["pii_redaction"] = _pii_sql()
+
+
+def _shingle_hash_list_sql(k: int) -> str:
+    """Distinct md5-60bit (mod P) hashes of word-k-shingles of `text`
+    (twin of dedup.shingle_hashes_expr)."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    joined = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(k))
+    h = _H60.format(s=f"({joined})")
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> {h} % 2147483647))"
+    )
+
+
+ORACLES["benchmark_overlap"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_shingle_hash_list_sql(8)} AS hs FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 20
+),
+dsh AS (
+  SELECT doc_id, unnest(hs) AS h FROM sh
+)
+SELECT dsh.doc_id AS id, count(*) AS n_hits
+FROM dsh JOIN bench USING (h)
+GROUP BY dsh.doc_id
+HAVING count(*) >= 3
+ORDER BY id
+"""
+
+
+def _components_sql() -> str:
+    """Twin of q_dedup_components: simhash hamming<=3 pair graph over
+    the planted-copy corpus, components = min reachable id via a
+    recursive-CTE transitive closure."""
+    simhash = """
+  SELECT doc_id,
+    (list_sum(list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(th,
+             h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
+           THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS simhash
+  FROM t
+"""
+    h = _H60.format(s="tk")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id < 150
+),
+t AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                   tk -> {h}) AS th
+  FROM docs
+),
+sh AS ({simhash}),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
+"""
+
+
+ORACLES["dedup_components"] = _components_sql()
+
+
 ORACLES["simhash_near_dup"] = f"""
 WITH docs AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 150
