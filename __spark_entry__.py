@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": wrap(c.q_dedup_components),
         "pii_redaction": wrap(c.q_pii_redaction),
         "benchmark_overlap": wrap(c.q_benchmark_overlap),
+        "url_canonicalize": wrap(c.q_url_canonicalize),
+        "gopher_quality": wrap(c.q_gopher_quality),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

@@ -151,6 +151,8 @@ def main() -> None:
         ("dedup_components", contract.q_dedup_components),
         ("pii_redaction", contract.q_pii_redaction),
         ("benchmark_overlap", contract.q_benchmark_overlap),
+        ("url_canonicalize", contract.q_url_canonicalize),
+        ("gopher_quality", contract.q_gopher_quality),
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),

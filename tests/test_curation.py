@@ -60,6 +60,51 @@ def test_benchmark_overlap_flags_contaminated(spark):
     assert 2 not in got
 
 
+def test_url_canonicalization_cases(spark):
+    from webxtract.curation import canonicalize_url_expr
+
+    cases = [
+        ("HTTPS://Example.COM:443/a/b?utm_source=tw&id=7#frag",
+         "https://example.com/a/b?id=7"),
+        ("http://News.Site.org:80/story?fbclid=xyz",
+         "http://news.site.org/story"),
+        ("https://host.net/p?id=3&utm_campaign=c&q=1",
+         "https://host.net/p?id=3&q=1"),
+        ("https://plain.example/x", "https://plain.example/x"),
+        # non-default port survives; param order preserved
+        ("https://h.io:8443/p?b=2&a=1", "https://h.io:8443/p?b=2&a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url_expr(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_gopher_flags_planted(spark):
+    from webxtract.textops import gopher_flags_exprs
+
+    good = " ".join(
+        ["the quick brown fox jumps over and over with the lazy dog of note"] * 5
+    )
+    too_short = "the end"
+    bullets = "\n".join(["- item one of the list to have and be with that"] * 10)
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, bullets)], "doc_id long, text string"
+    )
+    flags = gopher_flags_exprs(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in flags.items()]
+        ).collect()
+    }
+    assert rows[1]["gopher_keep"] is True
+    assert rows[2]["ok_word_count"] is False and rows[2]["gopher_keep"] is False
+    assert rows[3]["ok_bullets"] is False and rows[3]["gopher_keep"] is False
+
+
 def test_dedup_components_transitive_chain(spark):
     from webxtract.dedup import dedup_components
 

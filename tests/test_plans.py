@@ -75,6 +75,32 @@ def test_pipeline_has_exactly_one_exchange(spark, corpus):
     assert _nodes(plan, "Exchange") == 1
 
 
+def test_benchmark_overlap_broadcasts_benchmark_side(spark):
+    """Decontamination must broadcast the (small) benchmark shingle
+    set: the corpus side is the 100 TB table and must never shuffle
+    for the join."""
+    from webxtract.contract import q_benchmark_overlap
+
+    plan = _plan(q_benchmark_overlap(spark, TESTDATA))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "SortMergeJoin") == 0
+    # exchanges: benchmark-side distinct (small side only), per-doc
+    # hit-count agg, output sort — the corpus scan itself never
+    # shuffles before the join
+    assert _nodes(plan, "Exchange") <= 3
+
+
+def test_pii_redaction_is_narrow(spark):
+    """Regex redaction is pure projection: zero exchanges, and the scan
+    reads only (doc_id, text)."""
+    from webxtract.contract import q_pii_redaction
+
+    plan = _plan(q_pii_redaction(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") == 0
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in schema_line and "lang" not in schema_line
+
+
 def test_cosine_topk_uses_takeordered(spark):
     from webxtract.contract import q_cosine_topk
 

@@ -557,6 +557,38 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(pairs).orderBy("id")
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over urls derived from doc_id: mixed-case
+    scheme/host, default ports, fragments and tracking params planted
+    per modulo class."""
+    from webxtract.curation import canonicalize_url_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    ds = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://Example.COM:443/a/"), ds,
+                                F.lit("?utm_source=tw&id="), ds, F.lit("#frag")))
+        .when(m == 1, F.concat(F.lit("http://News.Site.org:80/story-"), ds,
+                               F.lit("?fbclid=xyz")))
+        .when(m == 2, F.concat(F.lit("https://host.net/p"), ds,
+                               F.lit("?id="), ds, F.lit("&utm_campaign=c&q=1")))
+        .otherwise(F.concat(F.lit("https://plain.example/x/"), ds))
+    )
+    return d.select(
+        "doc_id", url.alias("url"), canonicalize_url_expr(url).alias("canonical")
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality flags over the documents table."""
+    from webxtract.textops import gopher_flags_exprs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    flags = gopher_flags_exprs(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming<=k near-dup pairs: docs under 150 plus copies
     (id+100000) with one appended token — each copy lands a small

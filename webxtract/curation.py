@@ -56,6 +56,47 @@ def redact_pii_expr(text: Column) -> Column:
     return out
 
 
+# query params stripped during url canonicalization (tracking noise):
+# any utm_*, plus the common click ids
+_TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|mc_eid|ref|ref_src)="
+
+
+def canonicalize_url_expr(url: Column) -> Column:
+    """Canonical url for dedup/partition keys: lowercase scheme+host,
+    default ports stripped, fragment dropped, tracking query params
+    (utm_*/gclid/fbclid/...) removed with param order preserved, and a
+    bare trailing '?' cleaned up. Pure expressions (one pass over a
+    bound split), byte-replicable in DuckDB — no java.net parsing."""
+    from webxtract.exprs import bind_once
+
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+
+    def build(p: Column) -> Column:
+        head, query = p["head"], p["query"]
+        # lowercase scheme://host[:port], strip default ports
+        head_lc = F.concat(
+            F.lower(F.regexp_extract(head, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)),
+            F.regexp_replace(head, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""),
+        )
+        head_np = F.regexp_replace(head_lc, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+        head_np = F.regexp_replace(head_np, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+        kept = F.filter(
+            F.split(query, "&"),
+            lambda kv: ~kv.rlike(_TRACKING_PARAM_RE),
+        )
+        return F.when(
+            (query == "") | (F.size(kept) == 0), head_np
+        ).otherwise(F.concat(head_np, F.lit("?"), F.array_join(kept, "&")))
+
+    return bind_once(
+        F.struct(
+            F.regexp_replace(no_frag, r"\?.*$", "").alias("head"),
+            F.regexp_extract(no_frag, r"\?(.*)$", 1).alias("query"),
+        ),
+        build,
+    )
+
+
 def benchmark_overlap(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -443,6 +443,105 @@ FROM t
 """
 
 
+def _url_canon_sql() -> str:
+    """Twin of curation.canonicalize_url_expr over q_url_canonicalize's
+    planted urls. DuckDB regexp_replace replaces the first match (all
+    patterns are anchored, so first == all) and uses \\1 backrefs."""
+    from webxtract.curation import _TRACKING_PARAM_RE
+
+    url = r"""
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://Example.COM:443/a/' || CAST(doc_id AS VARCHAR)
+                  || '?utm_source=tw&id=' || CAST(doc_id AS VARCHAR) || '#frag'
+      WHEN 1 THEN 'http://News.Site.org:80/story-' || CAST(doc_id AS VARCHAR)
+                  || '?fbclid=xyz'
+      WHEN 2 THEN 'https://host.net/p' || CAST(doc_id AS VARCHAR)
+                  || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=c&q=1'
+      ELSE 'https://plain.example/x/' || CAST(doc_id AS VARCHAR)
+    END
+    """
+    return f"""
+WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+nf AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS no_frag FROM u
+),
+hq AS (
+  SELECT doc_id, url,
+         regexp_replace(no_frag, '\\?.*$', '') AS head,
+         regexp_extract(no_frag, '\\?(.*)$', 1) AS query
+  FROM nf
+),
+lc AS (
+  SELECT doc_id, url, query,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(head, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+          || regexp_replace(head, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''),
+        '^(https://[^/:]+):443(/|$)', '\\1\\2'),
+      '^(http://[^/:]+):80(/|$)', '\\1\\2') AS head_np
+  FROM hq
+),
+kp AS (
+  SELECT doc_id, url, head_np,
+         list_filter(string_split(query, '&'),
+                     kv -> NOT regexp_matches(kv, '{_TRACKING_PARAM_RE}')) AS kept,
+         query
+  FROM lc
+)
+SELECT doc_id, url,
+  CASE WHEN query = '' OR len(kept) = 0 THEN head_np
+       ELSE head_np || '?' || list_aggregate(kept, 'string_agg', '&')
+  END AS canonical
+FROM kp
+"""
+
+
+ORACLES["url_canonicalize"] = _url_canon_sql()
+
+
+def _gopher_sql() -> str:
+    from webxtract.textops import GOPHER_STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(text), '\\s+') AS toks,
+    regexp_split_to_array(text, '\\n') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    list_sum(list_transform(toks, tk -> length(tk))) / CAST(len(toks) AS DOUBLE) AS mean_len,
+    len(list_filter(toks, tk -> tk IN ('#', '...', '…'))) AS n_sym,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^[\\s]*([-*•‣◦])'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ell,
+    len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter([{stop}], s -> list_contains(toks, s))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+  (n >= 50 AND n <= 100000) AS ok_word_count,
+  (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+  (n_sym / CAST(n AS DOUBLE) <= 0.1) AS ok_symbol_ratio,
+  (n_bullet / CAST(greatest(n_lines, 1) AS DOUBLE) < 0.9) AS ok_bullets,
+  (n_ell / CAST(greatest(n_lines, 1) AS DOUBLE) < 0.3) AS ok_ellipsis,
+  (n_alpha / CAST(n AS DOUBLE) >= 0.8) AS ok_alpha_words,
+  (n_stop >= 2) AS ok_stopwords,
+  ((n >= 50 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+   AND (n_sym / CAST(n AS DOUBLE) <= 0.1)
+   AND (n_bullet / CAST(greatest(n_lines, 1) AS DOUBLE) < 0.9)
+   AND (n_ell / CAST(greatest(n_lines, 1) AS DOUBLE) < 0.3)
+   AND (n_alpha / CAST(n AS DOUBLE) >= 0.8) AND (n_stop >= 2)) AS gopher_keep
+FROM m
+"""
+
+
+ORACLES["gopher_quality"] = _gopher_sql()
+
+
 def _pii_sql() -> str:
     """Twin of q_pii_redaction: same planted text, same patterns (from
     curation.PII_PATTERNS, so the two can never drift), counts on the

@@ -83,6 +83,83 @@ def quality_exprs(text: Column) -> dict[str, Column]:
     }
 
 
+# Gopher rule constants (Rae et al. 2021 §A1.1): bounds and the
+# required-stopword probe set.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_BULLET_RE = r"^[\s]*([-*•‣◦])"
+
+
+def gopher_flags_exprs(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality flags, each an independent boolean
+    plus the conjunctive ``gopher_keep``:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# and ellipsis) <= 0.1
+    - < 90% of lines start with a bullet
+    - < 30% of lines end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 probe stopwords present
+
+    Pure expressions over one bound token/line split — zero Python,
+    zero shuffles, DuckDB-replicable."""
+    from webxtract.exprs import bind_once
+
+    def build(p: Column) -> Column:
+        toks, lines = p["toks"], p["lines"]
+        n = F.size(toks)
+        nd = n.cast("double")
+        mean_len = (
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / nd
+        )
+        n_symbols = (
+            F.size(F.filter(toks, lambda t: t.isin("#", "...", "…")))
+        )
+        n_lines = F.size(lines)
+        n_bullet = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE)))
+        n_ell = F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        )
+        n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        n_stop = F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(toks, s),
+            )
+        )
+        return F.struct(
+            ((n >= 50) & (n <= 100000)).alias("ok_word_count"),
+            ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("ok_mean_word_len"),
+            (n_symbols / nd <= 0.1).alias("ok_symbol_ratio"),
+            (n_bullet / F.greatest(n_lines, F.lit(1)).cast("double") < 0.9).alias(
+                "ok_bullets"
+            ),
+            (n_ell / F.greatest(n_lines, F.lit(1)).cast("double") < 0.3).alias(
+                "ok_ellipsis"
+            ),
+            (n_alpha / nd >= 0.8).alias("ok_alpha_words"),
+            (n_stop >= 2).alias("ok_stopwords"),
+        )
+
+    flags = bind_once(
+        F.struct(
+            tokens_expr(text).alias("toks"),
+            F.split(text, r"\n").alias("lines"),
+        ),
+        build,
+    )
+    names = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio", "ok_bullets",
+        "ok_ellipsis", "ok_alpha_words", "ok_stopwords",
+    ]
+    out: dict[str, Column] = {nm: flags[nm] for nm in names}
+    keep = flags[names[0]]
+    for nm in names[1:]:
+        keep = keep & flags[nm]
+    out["gopher_keep"] = keep
+    return out
+
+
 def lang_id_expr(text: Column) -> Column:
     """Stopword-overlap language ID: score per language = number of its
     stopwords present as tokens; argmax with fixed tie-break order.
