@@ -153,6 +153,7 @@ def main() -> None:
         ("benchmark_overlap", contract.q_benchmark_overlap),
         ("url_canonicalize", contract.q_url_canonicalize),
         ("gopher_quality", contract.q_gopher_quality),
+        ("deterministic_sample", contract.q_deterministic_sample),
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),

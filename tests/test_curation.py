@@ -105,6 +105,55 @@ def test_gopher_flags_planted(spark):
     assert rows[3]["ok_bullets"] is False and rows[3]["gopher_keep"] is False
 
 
+def test_url_canonicalization_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — canonical
+    forms are fixed points, so re-processing already-canonical urls in
+    an incremental run changes nothing."""
+    from webxtract.curation import canonicalize_url_expr
+
+    urls = [
+        "HTTPS://Example.COM:443/a/b?utm_source=tw&id=7#frag",
+        "http://News.Site.org:80/story?fbclid=xyz&x=1&utm_medium=m",
+        "https://h.io:8443/p?b=2&a=1",
+        "https://plain.example/x",
+        "ftp://Weird.Host/file", "not-a-url at all",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url_expr(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url_expr(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], r
+
+
+def test_deterministic_sample_stability_and_rates(spark):
+    from webxtract.curation import deterministic_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.1}
+    s1 = {r["doc_id"] for r in deterministic_sample(df, rates).collect()}
+    # stable under repartitioning (rand(seed) would not be)
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(13), rates).collect()
+    }
+    assert s1 == s2
+    en = sum(1 for i in s1 if i % 2 == 0) / 2000
+    de = sum(1 for i in s1 if i % 2 == 1) / 2000
+    assert abs(en - 0.5) < 0.05 and abs(de - 0.1) < 0.03
+    # subset-consistency: sampling a subset keeps exactly the members
+    # the full-corpus pass kept (incremental appends stay consistent)
+    sub = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            df.filter(F.col("doc_id") < 1000), rates
+        ).collect()
+    }
+    assert sub == {i for i in s1 if i < 1000}
+
+
 def test_dedup_components_transitive_chain(spark):
     from webxtract.dedup import dedup_components
 

@@ -580,6 +580,16 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: per-lang rates, content-hash keyed —
+    stable across runs/partitionings by construction."""
+    from webxtract.curation import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    return deterministic_sample(d, rates, default_rate=0.05).orderBy("doc_id")
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality flags over the documents table."""
     from webxtract.textops import gopher_flags_exprs

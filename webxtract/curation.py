@@ -56,6 +56,42 @@ def redact_pii_expr(text: Column) -> Column:
     return out
 
 
+SAMPLE_BUCKETS = 1_000_000
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted source mixing with content-keyed deterministic sampling:
+    keep a row iff md5_60(key) % 1e6 < rate(source) * 1e6.
+
+    This is the reproducible variant of per-source rand() sampling used
+    to hit a training-mix recipe (e.g. 50% of lang A, 10% of lang B):
+    the decision is a pure function of the KEY, so it is stable across
+    runs, executors, partitionings and retries (rand(seed) is only
+    per-partition-deterministic and reshuffle-sensitive), and the same
+    document always lands on the same side — re-runs and incremental
+    appends stay consistent. The rate table is a constant-folded
+    literal map; no shuffle, no Python."""
+    pairs: list[Column] = []
+    for k, r in rates.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(float(r)))
+    rate = F.coalesce(
+        F.create_map(*pairs)[F.col(source_col)], F.lit(float(default_rate))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(SAMPLE_BUCKETS),
+    )
+    return df.filter(bucket < (rate * SAMPLE_BUCKETS).cast("bigint"))
+
+
 # query params stripped during url canonicalization (tracking noise):
 # any utm_*, plus the common click ids
 _TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|mc_eid|ref|ref_src)="

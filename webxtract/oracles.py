@@ -541,6 +541,14 @@ FROM m
 
 ORACLES["gopher_quality"] = _gopher_sql()
 
+ORACLES["deterministic_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_H60.format(s='CAST(doc_id AS VARCHAR)')} % 1000000)
+      < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                        WHEN 'fr' THEN 0.1 ELSE 0.05 END) * 1000000 AS BIGINT)
+ORDER BY doc_id
+"""
+
 
 def _pii_sql() -> str:
     """Twin of q_pii_redaction: same planted text, same patterns (from
