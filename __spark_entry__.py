@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": wrap(c.q_url_canonicalize),
         "gopher_quality": wrap(c.q_gopher_quality),
         "deterministic_sample": wrap(c.q_deterministic_sample),
+        "pack_sequences": wrap(c.q_pack_sequences),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

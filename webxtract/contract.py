@@ -580,6 +580,20 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing of documents into training sequences:
+    8 shards, 2048-token budget, whitespace token counts."""
+    from webxtract.curation import pack_sequences
+    from webxtract.textops import token_count_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, token_budget=2048, n_shards=8).orderBy(
+        "shard", "seq_no"
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: per-lang rates, content-hash keyed —
     stable across runs/partitionings by construction."""

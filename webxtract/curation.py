@@ -56,6 +56,60 @@ def redact_pii_expr(text: Column) -> Column:
     return out
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int,
+    n_shards: int = 1024,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing for training-data assembly: assign
+    each document to a (shard, seq_no) training sequence such that
+    sequences fill up to ``token_budget`` tokens.
+
+    Strategy: budget-aligned streaming packing — within a shard,
+    documents are taken in deterministic id order and
+    ``seq_no = floor(prefix_sum_before_doc / budget)``; a document that
+    crosses a boundary belongs to the sequence it started in (real
+    packers truncate/split at the boundary downstream). Unlike greedy
+    first-fit this is a pure prefix-sum, so it is ONE window over the
+    shard key — no sequential driver scan, no UDF — and both engines
+    (and any rerun) produce identical assignments.
+
+    Shards bound the window's partition size: 10^12 docs / 1024 shards
+    still skews if token mass skews, so shard count is a knob; the
+    shard is hash-derived from the id (deterministic, no RNG)."""
+    from pyspark.sql import Window
+
+    # md5-60 shard hash (engine-neutral, same as deterministic_sample)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.withColumn("shard", shard).withColumn(
+        "__cum", F.sum(tokens_col).over(w)
+    )
+    seq_no = F.floor(
+        (F.col("__cum") - F.col(tokens_col)) / F.lit(token_budget)
+    ).cast("bigint")
+    return (
+        with_cum.withColumn("seq_no", seq_no)
+        .groupBy("shard", "seq_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tokens_col).alias("total_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )
+
+
 SAMPLE_BUCKETS = 1_000_000
 
 

@@ -541,6 +541,30 @@ FROM m
 
 ORACLES["gopher_quality"] = _gopher_sql()
 
+ORACLES["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         ({_H60.format(s='CAST(doc_id AS VARCHAR)')} % 8)::INT AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT shard,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_no,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY shard, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+ORDER BY shard, seq_no
+"""
+
 ORACLES["deterministic_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE ({_H60.format(s='CAST(doc_id AS VARCHAR)')} % 1000000)
