@@ -140,6 +140,37 @@ def test_streaming_checkpoint_exactly_once(spark, corpus, tmp_path):
     assert res.count() == 40 + len(expected)
 
 
+def test_audited_extraction_stream(spark, corpus, tmp_path):
+    """Streaming sink with the batch audit contract: per-microbatch
+    run_id partitions + audit rows whose counts reconcile with the
+    output; restart processes only new drops and audits them under new
+    batch ids."""
+    from webxtract.streaming import start_audited_extraction_stream
+
+    pages_path, _ = corpus
+    src = spark.read.parquet(pages_path)
+    drops = str(tmp_path / "adrops")
+    out = str(tmp_path / "aout")
+    audit = str(tmp_path / "aaudit")
+    ckpt = str(tmp_path / "ackpt")
+    src.limit(60).coalesce(1).write.mode("append").parquet(drops)
+    q = start_audited_extraction_stream(spark, drops, out, audit, ckpt)
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 60
+    a1 = spark.read.parquet(audit).toPandas()
+    assert a1["url_count"].sum() == 60
+    assert (a1["bytes_in"] >= 0).all()
+
+    src.coalesce(1).write.mode("append").parquet(drops)
+    q2 = start_audited_extraction_stream(spark, drops, out, audit, ckpt)
+    q2.awaitTermination(300)
+    res = spark.read.parquet(out)
+    assert res.count() == 60 + src.count()
+    a2 = spark.read.parquet(audit).toPandas()
+    assert a2["url_count"].sum() == 60 + src.count()
+    assert len(set(a2["run_id"])) >= 2  # distinct batch lineage ids
+
+
 def test_pipeline_stream_end_to_end(spark, corpus, tmp_path):
     """The FULL pipeline (extract -> fields -> type -> fake ->
     validators -> summary) in streaming mode from a drop directory:

@@ -90,6 +90,62 @@ def start_pipeline_stream(
     return writer.start()
 
 
+def start_audited_extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    audit_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Extraction stream with the batch job's audit contract: every
+    microbatch appends output partitioned by run_id (= batch-<id>) AND
+    writes its per-partition lineage/metrics rows to the audit table —
+    the streaming form of audit.run_extraction_job.
+
+    Replay safety: a recovered microbatch re-runs with the SAME batch
+    id, and the output write uses dynamic partition overwrite on
+    run_id, so the replayed batch replaces its own partition instead of
+    duplicating it; the audit write keys rows by the same run_id so a
+    replay's rows supersede by run_id at read time (readers take the
+    latest write per run_id — the parquet files carry identical
+    aggregates for identical input)."""
+    from pyspark.sql import functions as F
+
+    from webxtract.audit import audit_rows
+    from webxtract.ops.extract import extract_pages
+
+    stream = read_page_stream(spark, input_path)
+    extracted = extract_pages(stream)
+
+    def _write_batch(batch_df, batch_id):  # noqa: ANN001
+        run_id = f"batch-{batch_id}"
+        out = (
+            batch_df.withColumn("run_id", F.lit(run_id))
+            .withColumn("partition_id", F.spark_partition_id())
+            .persist()
+        )
+        try:
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run_id")
+                .parquet(output_path)
+            )
+            audit_rows(out.drop("run_id"), run_id).write.mode("append").parquet(
+                audit_path
+            )
+        finally:
+            out.unpersist()
+
+    writer = extracted.writeStream.foreachBatch(_write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ----------------------------------------------- windowed aggregation
 
 
