@@ -252,6 +252,57 @@ def test_luhn_known_specimen(spark):
     assert any("specimen document number" in r.lower() for r in fake["reasons"])
 
 
+# (case, fields, is_fake, confidence, reasons) — goldens produced by
+# running the reference's FakeDocumentDetector in-process with a frozen
+# clock (same harness as scripts/gen_validator_goldens.py); reasons are
+# part of the response (and of integrity_summary.summary) and must be
+# byte-exact.
+FAKE_GOLDENS = [
+    ("john_doe", {"first_name": "John", "last_name": "Doe"},
+     True, 0.5, ["Known fake name: John Doe"]),
+    ("specimen_num", {"document_number": "123456789"}, True, 1.0,
+     ["Known specimen document number: 123456789",
+      "Suspicious document number pattern: 123456789",
+      "Sequential document number: 123456789"]),
+    ("known_specimen", {"document_number": "5584486674"}, True, 0.5,
+     ["Known specimen document number: 5584486674"]),
+    ("addr", {"address": "123 Main Street West"}, True, 0.4,
+     ["Fake address pattern: '123 main'"]),
+    ("specimen_kw", {"document_title": "SPECIMEN Sample Card"}, True, 0.5,
+     ["Specimen keyword found: specimen, sample"]),
+    ("seq", {"document_number": "A2345678"}, False, 0.0, []),
+    ("repeat_name", {"first_name": "aaaa", "last_name": "Wong"}, False, 0.25,
+     ["Suspicious first name: 'aaaa' (repeated characters)"]),
+    ("suspicious_dates",
+     {"date_of_birth": "2000-01-01", "issue_date": "2000-01-01",
+      "expiry_date": "2000-01-01"}, True, 0.9,
+     ["Suspicious date_of_birth: 2000-01-01",
+      "Suspicious issue_date: 2000-01-01",
+      "Suspicious expiry_date: 2000-01-01"]),
+    ("mrz", {"mrz": "P<XXXIDENTITY<<SAMPLE<<<<<<<<<<<<<<<<<<<<<<<"},
+     True, 0.75,
+     ["Specimen keyword found: sample", "MRZ contains SPECIMEN/SAMPLE text"]),
+]
+
+
+def test_fake_detector_reasons_byte_exact(spark):
+    from webxtract.ops.fake import fake_result_expr
+
+    rows = []
+    for name, data, *_ in FAKE_GOLDENS:
+        row = {f: data.get(f) for f in FIELD_NAMES}
+        row["case"] = name
+        rows.append(row)
+    schema = "case string, " + ", ".join(f"{f} string" for f in FIELD_NAMES)
+    df = spark.createDataFrame(rows, schema=schema)
+    got = {
+        r["case"]: (r["fd"]["is_fake"], r["fd"]["confidence"], list(r["fd"]["reasons"]))
+        for r in df.select("case", fake_result_expr().alias("fd")).collect()
+    }
+    for name, _data, is_fake, conf, reasons in FAKE_GOLDENS:
+        assert got[name] == (is_fake, conf, reasons), (name, got[name])
+
+
 def test_base_validators_skip_semantics(spark):
     from webxtract.ops.validators import validation_results_expr, with_parsed_dates
 
