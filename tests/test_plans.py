@@ -101,6 +101,27 @@ def test_pii_redaction_is_narrow(spark):
     assert "text" in schema_line and "lang" not in schema_line
 
 
+def test_deterministic_sample_is_narrow(spark):
+    """Hash-threshold sampling is a pure filter: zero exchanges, filter
+    pushed into the scan stage."""
+    from webxtract.contract import q_deterministic_sample
+
+    plan = _plan(q_deterministic_sample(spark, TESTDATA))
+    # only the output orderBy may exchange; the sample itself is narrow
+    assert _nodes(plan, "Exchange") <= 1
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Packing is one shuffle on the shard key (the window), plus the
+    final per-sequence aggregation reusing that partitioning where AQE
+    allows; never a driver-side sequential scan."""
+    from webxtract.contract import q_pack_sequences
+
+    plan = _plan(q_pack_sequences(spark, TESTDATA))
+    assert _nodes(plan, "Window") == 1
+    assert _nodes(plan, "Exchange") <= 3  # window + agg + output sort
+
+
 def test_cosine_topk_uses_takeordered(spark):
     from webxtract.contract import q_cosine_topk
 
