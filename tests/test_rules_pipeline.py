@@ -365,3 +365,14 @@ def test_integrity_result_shape(full):
             if v["validator_name"] in ("ontario_drivers_license", "bc_drivers_license"):
                 details = dict(v["details"]) if v["details"] is not None else {}
                 assert details.get("verifik_api_enabled") == "false"
+
+    # failed results carry their issue list in details (the map analog
+    # of the reference's {"issues": [...]} copy, ontario_dl.py:236-241)
+    seen_failed = 0
+    for _, r in got.iterrows():
+        for v in r["validation_results"]:
+            if v["status"] == "failed":
+                seen_failed += 1
+                details = dict(v["details"]) if v["details"] is not None else {}
+                assert details.get("issues"), (v["validator_name"], details)
+    assert seen_failed > 0
