@@ -12,19 +12,39 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword sets for the n-gram/stopword-overlap
-# language-ID heuristic. Deterministic and oracle-checkable; not a
-# real langid model.
+# Per-language stopword sets for the stopword-overlap language-ID
+# heuristic (well-known function-word lists; deterministic and
+# oracle-checkable — the DuckDB oracle is generated from this same
+# table, so extending it can never desynchronize the two engines).
+# Not a trained langid model; scores = count of a language's stopwords
+# present as tokens, argmax with the fixed LANG_ORDER tie-break.
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "are"],
     "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "dans", "pour"],
     "es": ["el", "la", "los", "de", "que", "y", "es", "una", "por", "con"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "eine", "für", "nicht"],
     "zh": ["的", "是", "了", "在", "和", "有", "不", "我", "他", "这"],
+    "pt": ["o", "os", "do", "da", "em", "um", "uma", "não", "são", "como"],
+    "it": ["il", "gli", "di", "che", "è", "per", "non", "sono", "della", "nel"],
+    "nl": ["het", "een", "van", "en", "dat", "niet", "zijn", "voor", "aan", "met"],
+    "ru": ["и", "в", "не", "на", "что", "это", "как", "его", "она", "был"],
+    "ja": ["の", "に", "は", "を", "が", "で", "た", "です", "ます", "から"],
+    "ar": ["في", "من", "على", "أن", "إلى", "هذا", "التي", "كان", "لم", "عن"],
+    "tr": ["ve", "bir", "bu", "için", "ile", "olarak", "daha", "çok", "gibi", "ama"],
+    "pl": ["i", "w", "na", "się", "nie", "jest", "do", "że", "tym", "był"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "inte"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "ini", "untuk", "tidak",
+           "dari", "dalam"],
+    "hi": ["है", "के", "में", "की", "और", "से", "का", "को", "पर", "यह"],
 }
 
-# Fixed tie-break order (first wins on equal scores).
-LANG_ORDER = ["en", "fr", "es", "de", "zh"]
+# Fixed tie-break order (first wins on equal scores). The original
+# five stay first so corpora containing only those languages keep
+# identical predictions after the table extension.
+LANG_ORDER = [
+    "en", "fr", "es", "de", "zh", "pt", "it", "nl", "ru", "ja", "ar",
+    "tr", "pl", "sv", "id", "hi",
+]
 
 FINGERPRINT_BASE = 31
 FINGERPRINT_MOD = 2_147_483_647  # 2^31 - 1
