@@ -38,12 +38,16 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_counts_exprs(text: Column) -> dict[str, Column]:
-    """Per-kind match counts over the ORIGINAL text (counted before any
-    replacement so kinds do not mask each other)."""
-    return {
-        f"n_{kind}": F.regexp_count(text, F.lit(pat))
-        for kind, pat, _repl in PII_PATTERNS
-    }
+    """Per-kind match counts, each counted on the text with EARLIER
+    kinds already replaced — so the counts reconcile exactly with the
+    tags redact_pii_expr emits (a phone never double-counts as an
+    SSN-shaped id; sum(counts) == number of tags in the output)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for kind, pat, repl in PII_PATTERNS:
+        out[f"n_{kind}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
 
 
 def redact_pii_expr(text: Column) -> Column:
@@ -82,10 +86,10 @@ def pack_sequences(
     from pyspark.sql import Window
 
     # md5-60 shard hash (engine-neutral, same as deterministic_sample)
+    from webxtract.textops import stable_hash60_expr
+
     shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint"),
-        F.lit(n_shards),
+        stable_hash60_expr(F.col(id_col).cast("string")), F.lit(n_shards)
     ).cast("int")
     w = (
         Window.partitionBy("shard")
@@ -138,10 +142,10 @@ def deterministic_sample(
     rate = F.coalesce(
         F.create_map(*pairs)[F.col(source_col)], F.lit(float(default_rate))
     )
+    from webxtract.textops import stable_hash60_expr
+
     bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint"),
-        F.lit(SAMPLE_BUCKETS),
+        stable_hash60_expr(F.col(key_col).cast("string")), F.lit(SAMPLE_BUCKETS)
     )
     return df.filter(bucket < (rate * SAMPLE_BUCKETS).cast("bigint"))
 

@@ -17,6 +17,16 @@ Five strategies, all shuffle-conscious:
            shingle cannot go quadratic.
 - embedding cosine near-dup: see webxtract.similarity.
 
+Ordering contract for the pair generators' default hot-bucket caps: run
+EXACT dedup first. A cluster of >cap byte-identical documents (common
+boilerplate at crawl scale) saturates its LSH bucket and the default
+cap drops it from candidate generation — by design, because all-pairs
+inside it is quadratic poison — but exact_dedup collapses identical
+texts with a linear hash-groupBy, so after that pass the caps only ever
+suppress degenerate NEAR-duplicate clusters, where the boilerplate
+argument applies. Callers needing exhaustive pair recall without the
+exact-dedup pre-pass opt out with max_bucket_size=None.
+
 Hashing is ENGINE-NEUTRAL *and* JVM-fast: every shingle/token hash is
 the low 60 bits of md5 (one native call — Spark
 ``conv(substr(md5(s),1,15),16,10)``, DuckDB
@@ -341,10 +351,14 @@ def dedup_components(
 
     Only vertices that appear in ``pairs`` are labeled (singletons are
     their own trivial component and never needed the shuffle)."""
+    # materialize once: edges are re-read every round, and the upstream
+    # pair generation (LSH explode + self-join) must not re-execute per
+    # iteration
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")

@@ -37,12 +37,32 @@ def gateway_cached(maxsize: int = 4):
             from pyspark import SparkContext
 
             gw = getattr(SparkContext, "_gateway", None)
-            return cached(id(gw) if gw is not None else None, *args, **kw)
+            # key on the gateway OBJECT (hashable by identity), not
+            # id(gw): the lru_cache key keeps it alive, so a torn-down
+            # gateway's address can never be recycled into a cache hit
+            # on stale JVM refs (bounded retention: maxsize entries)
+            return cached(_IdKey(gw) if gw is not None else None, *args, **kw)
 
         wrapper.cache_clear = cached.cache_clear
         return wrapper
 
     return deco
+
+
+class _IdKey:
+    """Identity-hashable wrapper holding a strong reference, so equal
+    keys imply the SAME live object (never a recycled address)."""
+
+    __slots__ = ("obj",)
+
+    def __init__(self, obj):  # noqa: ANN001
+        self.obj = obj
+
+    def __hash__(self):
+        return id(self.obj)
+
+    def __eq__(self, other):  # noqa: ANN001
+        return isinstance(other, _IdKey) and other.obj is self.obj
 
 
 def bind_once(value: Column, build) -> Column:  # noqa: ANN001

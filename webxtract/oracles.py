@@ -576,8 +576,9 @@ ORDER BY doc_id
 
 def _pii_sql() -> str:
     """Twin of q_pii_redaction: same planted text, same patterns (from
-    curation.PII_PATTERNS, so the two can never drift), counts on the
-    original text, replacements applied sequentially with 'g'."""
+    curation.PII_PATTERNS, so the two can never drift); each kind's
+    count runs on the text with earlier kinds already replaced
+    (reconciles with the emitted tags), replacements with 'g'."""
     from webxtract.curation import PII_PATTERNS
 
     planted = (
@@ -586,12 +587,11 @@ def _pii_sql() -> str:
         " card 4111 1111 1111 1111, host 10.0.0.1'"
     )
     red = "t"
-    for _kind, pat, repl in PII_PATTERNS:
+    count_parts = []
+    for kind, pat, repl in PII_PATTERNS:
+        count_parts.append(f"len(regexp_extract_all({red}, '{pat}')) AS n_{kind}")
         red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
-    counts = ", ".join(
-        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
-        for kind, pat, _repl in PII_PATTERNS
-    )
+    counts = ", ".join(count_parts)
     return f"""
 WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
 SELECT doc_id, {red} AS redacted, {counts} FROM p

@@ -81,15 +81,22 @@ def get_spark(
     # the heap pinned (100k-doc pipeline: first-pass wall 87.6s -> 49.1s,
     # steady state 11.8s -> 7.7s). A long-running cluster executor pays
     # the ramp once; pinning makes every task see steady-state GC.
-    # Derived from the *effective* driver memory (tests pass 4g via
-    # extra_conf); an explicit extraJavaOptions in extra_conf wins.
-    gc_opts = (
-        "-XX:+UseParallelGC "
-        f"-Xms{conf.get('spark.driver.memory', driver_mem)} "
-        "-XX:-UseAdaptiveSizePolicy"
+    # Each role pins to ITS OWN effective memory (tests pass 4g driver
+    # via extra_conf; executors default to Spark's 1g unless set) —
+    # pinning executors to the driver size would exceed executor -Xmx
+    # on a real cluster and kill every executor at launch. An explicit
+    # extraJavaOptions in extra_conf wins.
+    def _gc_opts(mem: str) -> str:
+        return f"-XX:+UseParallelGC -Xms{mem} -XX:-UseAdaptiveSizePolicy"
+
+    conf.setdefault(
+        "spark.driver.extraJavaOptions",
+        _gc_opts(conf.get("spark.driver.memory", driver_mem)),
     )
-    conf.setdefault("spark.driver.extraJavaOptions", gc_opts)
-    conf.setdefault("spark.executor.extraJavaOptions", gc_opts)
+    conf.setdefault(
+        "spark.executor.extraJavaOptions",
+        _gc_opts(conf.get("spark.executor.memory", "1g")),
+    )
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

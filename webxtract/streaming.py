@@ -104,12 +104,10 @@ def start_audited_extraction_stream(
     the streaming form of audit.run_extraction_job.
 
     Replay safety: a recovered microbatch re-runs with the SAME batch
-    id, and the output write uses dynamic partition overwrite on
-    run_id, so the replayed batch replaces its own partition instead of
-    duplicating it; the audit write keys rows by the same run_id so a
-    replay's rows supersede by run_id at read time (readers take the
-    latest write per run_id — the parquet files carry identical
-    aggregates for identical input)."""
+    id, and BOTH writes use dynamic partition overwrite on run_id, so
+    the replayed batch replaces its own output partition AND its own
+    audit partition instead of appending duplicates — foreachBatch is
+    at-least-once, idempotence must come from the sink."""
     from pyspark.sql import functions as F
 
     from webxtract.audit import audit_rows
@@ -132,8 +130,12 @@ def start_audited_extraction_stream(
                 .partitionBy("run_id")
                 .parquet(output_path)
             )
-            audit_rows(out.drop("run_id"), run_id).write.mode("append").parquet(
-                audit_path
+            (
+                audit_rows(out.drop("run_id"), run_id)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run_id")
+                .parquet(audit_path)
             )
         finally:
             out.unpersist()
@@ -194,7 +196,7 @@ SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
-    watermark: str = "1 hour",
+    watermark: str = "30 minutes",
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     (``applyInPandasWithState``) — the streaming twin of the batch
@@ -208,6 +210,15 @@ def sessionize_stream(
     last + gap. The final open session at end-of-stream stays in state
     (exactly the semantics a continuous pipeline wants; AvailableNow
     catch-up runs pick it up on the next increment).
+
+    Watermark discipline: keep ``watermark`` <= ``gap_seconds`` (the
+    default aligns them). Within that bound every admitted late event
+    satisfies ``us >= last - gap``, so min/max merging into the single
+    open session is exactly the batch semantics. With watermark > gap
+    an admitted event older than ``start - gap`` would belong to a
+    SEPARATE earlier session that single-interval state cannot
+    represent; such an event is emitted as its own closed session
+    (best-effort — a later bridging event cannot reopen it).
     """
     import pandas as pd  # local: workers import lazily
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -250,6 +261,16 @@ def sessionize_stream(
                 out["n_events"].append(n)
                 out["total_value"].append(round(total, 6))
                 start, last, n, total = us, us, 1, float(value)
+            elif us < start - gap_us:
+                # only reachable when watermark > gap: the event is a
+                # separate EARLIER session this single-interval state
+                # cannot hold — emit it as its own closed session
+                # (best-effort, see docstring)
+                out["user_id"].append(user_id)
+                out["session_start"].append(pd.Timestamp(us, unit="us"))
+                out["session_end"].append(pd.Timestamp(us, unit="us"))
+                out["n_events"].append(1)
+                out["total_value"].append(round(float(value), 6))
             else:
                 # batches are sorted internally but NOT ordered across
                 # microbatches: an out-of-order event (allowed within
