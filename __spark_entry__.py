@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": wrap(c.q_gopher_quality),
         "deterministic_sample": wrap(c.q_deterministic_sample),
         "pack_sequences": wrap(c.q_pack_sequences),
+        "remove_boilerplate": wrap(c.q_remove_boilerplate),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

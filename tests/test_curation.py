@@ -154,6 +154,29 @@ def test_deterministic_sample_stability_and_rates(spark):
     assert sub == {i for i in s1 if i < 1000}
 
 
+def test_remove_boilerplate_lines(spark):
+    """A line shared by more than max_line_df docs is stripped from all
+    of them; unique lines and line order survive; an all-boilerplate
+    doc keeps a row with empty text."""
+    from webxtract.curation import remove_boilerplate_lines
+
+    banner = "ACCEPT COOKIES"
+    footer = "(c) corp"
+    rows = [
+        (i, f"{banner}\nunique body {i}\nmore body {i}\n{footer}")
+        for i in range(20)
+    ]
+    rows.append((99, f"{banner}\n{footer}"))  # all-boilerplate doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in remove_boilerplate_lines(df, max_line_df=10).collect()
+    }
+    assert got[3] == ("unique body 3\nmore body 3", 2)
+    assert got[99] == ("", 2)
+    assert len(got) == 21
+
+
 def test_pack_sequences_budget_invariants(spark):
     """Every sequence except possibly a shard's last starts under
     budget; each doc lands in exactly one sequence; totals reconcile."""

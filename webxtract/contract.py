@@ -604,6 +604,23 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(d, rates, default_rate=0.05).orderBy("doc_id")
 
 
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level boilerplate removal over documents with
+    planted cookie-banner/footer lines (appear in every doc, so their
+    line-df saturates and they are stripped corpus-wide)."""
+    from webxtract.curation import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("ACCEPT COOKIES TO CONTINUE\n"),
+            F.col("text"),
+            F.lit("\n(c) example inc - all rights reserved"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(d, max_line_df=10).orderBy("doc_id")
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality flags over the documents table."""
     from webxtract.textops import gopher_flags_exprs

@@ -60,6 +60,68 @@ def redact_pii_expr(text: Column) -> Column:
     return out
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    max_line_df: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_len: int = 0,
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal (the CCNet /
+    RefinedWeb trick): a LINE that appears in more than ``max_line_df``
+    distinct documents is navigation/footer/cookie-banner boilerplate —
+    strip it from every document, preserving the order of surviving
+    lines.
+
+    Scale shape: explode to (id, pos, line_hash) — the shuffle carries
+    the md5-60 hash, never the line text; document frequency is a
+    hash-keyed aggregate (distinct docs per line); surviving lines
+    reassemble with a sort-within-group concat. Two shuffles total
+    (line-hash agg + doc regroup), both on compact keys.
+
+    Returns (id, text, n_removed_lines)."""
+    from webxtract.textops import stable_hash60_expr
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).withColumn("h", stable_hash60_expr(F.trim(F.col("line"))))
+
+    line_df = (
+        lines.filter(F.length(F.trim("line")) > min_line_len)
+        .select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+    # hot set: distinct boilerplate lines are few by nature — broadcast
+    hot = line_df.filter(F.col("docs") > max_line_df).select("h")
+    marked = lines.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), "h", "left"
+    ).withColumn("__hot", F.coalesce("__hot", F.lit(False)))
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__hot"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.sum(F.col("__hot").cast("long")).alias("n_removed_lines"),
+    )
+    # a doc whose every line was hot keeps a row with empty text
+    return rebuilt.select(
+        F.col("id").alias(id_col), text_col, "n_removed_lines"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_budget: int,

@@ -541,6 +541,37 @@ FROM m
 
 ORACLES["gopher_quality"] = _gopher_sql()
 
+ORACLES["remove_boilerplate"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         'ACCEPT COOKIES TO CONTINUE' || chr(10) || text || chr(10) ||
+         '(c) example inc - all rights reserved' AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\\n')) AS line,
+         generate_subscripts(regexp_split_to_array(text, '\\n'), 1) AS pos
+  FROM d
+),
+lh AS (
+  SELECT doc_id, pos, line, {_H60.format(s='trim(line)')} AS h FROM l
+),
+hot AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS docs
+    FROM lh WHERE length(trim(line)) > 0 GROUP BY h
+  ) WHERE docs > 10
+)
+SELECT doc_id,
+  coalesce(string_agg(line, chr(10) ORDER BY pos)
+             FILTER (WHERE h NOT IN (SELECT h FROM hot)), '') AS text,
+  count(*) FILTER (WHERE h IN (SELECT h FROM hot)) AS n_removed_lines
+FROM lh
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 ORACLES["pack_sequences"] = f"""
 WITH t AS (
   SELECT doc_id,
