@@ -167,6 +167,7 @@ def test_remove_boilerplate_lines(spark):
         for i in range(20)
     ]
     rows.append((99, f"{banner}\n{footer}"))  # all-boilerplate doc
+    rows.append((100, None))  # NULL text keeps its row (as empty)
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r["doc_id"]: (r["text"], r["n_removed_lines"])
@@ -174,7 +175,8 @@ def test_remove_boilerplate_lines(spark):
     }
     assert got[3] == ("unique body 3\nmore body 3", 2)
     assert got[99] == ("", 2)
-    assert len(got) == 21
+    assert got[100] == ("", 0)
+    assert len(got) == 22
 
 
 def test_pack_sequences_budget_invariants(spark):

@@ -102,13 +102,17 @@ def test_pii_redaction_is_narrow(spark):
 
 
 def test_deterministic_sample_is_narrow(spark):
-    """Hash-threshold sampling is a pure filter: zero exchanges, filter
-    pushed into the scan stage."""
+    """Hash-threshold sampling is a pure narrow filter: no joins, and
+    the only exchange is the query's output orderBy (the md5 threshold
+    is a computed predicate, so parquet-level pushdown is not expected
+    — what must never appear is a shuffle or join for the sampling
+    decision itself)."""
     from webxtract.contract import q_deterministic_sample
 
     plan = _plan(q_deterministic_sample(spark, TESTDATA))
-    # only the output orderBy may exchange; the sample itself is narrow
-    assert _nodes(plan, "Exchange") <= 1
+    assert _nodes(plan, "Exchange") == 1  # output sort only
+    assert "Join" not in plan
+    assert _nodes(plan, "Filter") >= 1
 
 
 def test_pack_sequences_single_window_exchange(spark):

@@ -73,18 +73,26 @@ def remove_boilerplate_lines(
     strip it from every document, preserving the order of surviving
     lines.
 
-    Scale shape: explode to (id, pos, line_hash) — the shuffle carries
-    the md5-60 hash, never the line text; document frequency is a
-    hash-keyed aggregate (distinct docs per line); surviving lines
-    reassemble with a sort-within-group concat. Two shuffles total
-    (line-hash agg + doc regroup), both on compact keys.
+    Scale shape: document frequency is computed over (line_hash, id)
+    pairs — three shuffles total, the first two carrying ONLY compact
+    (hash, id) keys (the distinct + the per-hash count) and one final
+    regroup carrying the surviving text; the corpus text is split and
+    hashed twice (two scans), which is deliberately cheaper at 100 TB
+    than the alternative of shuffling every line's text by its hash.
+    The hot set joins back without a forced broadcast hint so AQE
+    broadcasts it when small but degrades gracefully (instead of
+    OOMing the driver) on template-heavy corpora where many lines
+    exceed the cap.
 
+    NULL text is treated as empty text (the document keeps its row).
     Returns (id, text, n_removed_lines)."""
     from webxtract.textops import stable_hash60_expr
 
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+        ).alias("pos", "line"),
     ).withColumn("h", stable_hash60_expr(F.trim(F.col("line"))))
 
     line_df = (
@@ -94,10 +102,11 @@ def remove_boilerplate_lines(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("docs"))
     )
-    # hot set: distinct boilerplate lines are few by nature — broadcast
+    # hot set: distinct boilerplate lines are few by nature; no forced
+    # broadcast hint — AQE broadcasts when small (see docstring)
     hot = line_df.filter(F.col("docs") > max_line_df).select("h")
     marked = lines.join(
-        F.broadcast(hot.withColumn("__hot", F.lit(True))), "h", "left"
+        hot.withColumn("__hot", F.lit(True)), "h", "left"
     ).withColumn("__hot", F.coalesce("__hot", F.lit(False)))
     rebuilt = marked.groupBy("id").agg(
         F.array_join(

@@ -93,10 +93,15 @@ def get_spark(
         "spark.driver.extraJavaOptions",
         _gc_opts(conf.get("spark.driver.memory", driver_mem)),
     )
-    conf.setdefault(
-        "spark.executor.extraJavaOptions",
-        _gc_opts(conf.get("spark.executor.memory", "1g")),
-    )
+    # executors: pin -Xms ONLY when the executor heap is explicitly
+    # configured here — this process cannot see cluster-side defaults
+    # (spark-defaults.conf / spark-submit), and guessing would set
+    # -Xms above a smaller cluster-side -Xmx and kill every executor
+    exec_mem = conf.get("spark.executor.memory")
+    exec_opts = "-XX:+UseParallelGC -XX:-UseAdaptiveSizePolicy"
+    if exec_mem:
+        exec_opts += f" -Xms{exec_mem}"
+    conf.setdefault("spark.executor.extraJavaOptions", exec_opts)
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

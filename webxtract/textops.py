@@ -24,23 +24,30 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "es": ["el", "la", "los", "de", "que", "y", "es", "una", "por", "con"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "eine", "für", "nicht"],
     "zh": ["的", "是", "了", "在", "和", "有", "不", "我", "他", "这"],
-    "pt": ["o", "os", "do", "da", "em", "um", "uma", "não", "são", "como"],
+    # extension languages use only MULTI-CHARACTER stopwords that are
+    # not common words of the original five (no 'i'/'do'/'en'/'o'):
+    # single-letter and cross-language-ambiguous tokens would steal
+    # argmax from en/fr/es text and flip previously-correct predictions
+    "pt": ["os", "da", "em", "um", "uma", "não", "são", "como", "para", "mais"],
     "it": ["il", "gli", "di", "che", "è", "per", "non", "sono", "della", "nel"],
-    "nl": ["het", "een", "van", "en", "dat", "niet", "zijn", "voor", "aan", "met"],
+    "nl": ["het", "een", "van", "dat", "niet", "zijn", "voor", "aan", "met",
+           "ook"],
     "ru": ["и", "в", "не", "на", "что", "это", "как", "его", "она", "был"],
     "ja": ["の", "に", "は", "を", "が", "で", "た", "です", "ます", "から"],
     "ar": ["في", "من", "على", "أن", "إلى", "هذا", "التي", "كان", "لم", "عن"],
     "tr": ["ve", "bir", "bu", "için", "ile", "olarak", "daha", "çok", "gibi", "ama"],
-    "pl": ["i", "w", "na", "się", "nie", "jest", "do", "że", "tym", "był"],
-    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "inte"],
+    "pl": ["w", "na", "się", "nie", "jest", "że", "tym", "był", "jak", "ale"],
+    "sv": ["och", "att", "det", "som", "på", "är", "av", "för", "inte", "med"],
     "id": ["yang", "dan", "di", "itu", "dengan", "ini", "untuk", "tidak",
            "dari", "dalam"],
     "hi": ["है", "के", "में", "की", "और", "से", "का", "को", "पर", "यह"],
 }
 
 # Fixed tie-break order (first wins on equal scores). The original
-# five stay first so corpora containing only those languages keep
-# identical predictions after the table extension.
+# five stay first; note the extension can still change a prediction
+# for genuinely ambiguous text (a doc scoring higher in a NEW language
+# than in any original one was previously 'unknown' or misassigned) —
+# the curated lists above minimize, not eliminate, that drift.
 LANG_ORDER = [
     "en", "fr", "es", "de", "zh", "pt", "it", "nl", "ru", "ja", "ar",
     "tr", "pl", "sv", "id", "hi",
