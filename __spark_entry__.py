@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": wrap(c.q_deterministic_sample),
         "pack_sequences": wrap(c.q_pack_sequences),
         "remove_boilerplate": wrap(c.q_remove_boilerplate),
+        "repetition_signals": wrap(c.q_repetition_signals),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

@@ -156,6 +156,7 @@ def main() -> None:
         ("deterministic_sample", contract.q_deterministic_sample),
         ("pack_sequences", contract.q_pack_sequences),
         ("remove_boilerplate", contract.q_remove_boilerplate),
+        ("repetition_signals", contract.q_repetition_signals),
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),

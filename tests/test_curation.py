@@ -179,6 +179,28 @@ def test_remove_boilerplate_lines(spark):
     assert len(got) == 22
 
 
+def test_repetition_signals_planted(spark):
+    """A doc that is one phrase repeated scores high on every signal; a
+    varied doc scores low; a doc with duplicated lines shows line-dup
+    fractions."""
+    from webxtract.curation import repetition_signals
+
+    repeated = " ".join(["buy now limited offer"] * 10)
+    varied = "each word appears exactly once across this entire sentence here"
+    dup_lines = "alpha beta\ngamma delta\nalpha beta\nepsilon zeta"
+    df = spark.createDataFrame(
+        [(1, repeated), (2, varied), (3, dup_lines)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # "buy now limited offer buy" style 2-grams repeat ~10x
+    assert got[1]["top2gram_char_frac"] > 0.3
+    assert got[2]["top2gram_char_frac"] < 0.3
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.25  # 1 of 4 lines is a dup occurrence
+    assert got[3]["dup_line_char_frac"] > 0.0
+
+
 def test_pack_sequences_budget_invariants(spark):
     """Every sequence except possibly a shard's last starts under
     budget; each doc lands in exactly one sequence; totals reconcile."""

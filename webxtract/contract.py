@@ -604,6 +604,24 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(d, rates, default_rate=0.05).orderBy("doc_id")
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition statistics over documents with a planted
+    repeated tail (doc_id%3==0 gets its first 6 words appended twice,
+    exercising non-trivial top-gram coverage)."""
+    from webxtract.curation import repetition_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    first6 = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 6), " ")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", F.col("text"), first6, first6),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_signals(planted).orderBy("doc_id")
+
+
 def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line-level boilerplate removal over documents with
     planted cookie-banner/footer lines (appear in every doc, so their

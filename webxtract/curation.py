@@ -60,6 +60,66 @@ def redact_pii_expr(text: Column) -> Column:
     return out
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals per document:
+    duplicate-line fraction, duplicate-line character fraction (pure
+    expressions), and for each n in ``ns`` the top-n-gram character
+    fraction — count(most frequent word n-gram) * len(gram) /
+    len(text), the repetition filter's core statistic (can exceed 1
+    for self-overlapping grams; both engines define it identically).
+
+    Scale shape: one explode + two aggregations per n, all keyed on
+    (id, gram)/(id) — the max-by-count uses a struct max with the
+    (count, gram-length) tie-break so the chosen gram is deterministic
+    in both engines."""
+    from webxtract.textops import line_repetition_exprs, word_grams_expr
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    line_sigs = line_repetition_exprs(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text).alias("__chars"),
+        *[c.alias(n) for n, c in line_sigs.items()],
+    )
+    out = base
+    for n in ns:
+        grams = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_grams_expr(text, n)).alias("g"),
+        )
+        top = (
+            grams.groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), F.length("g").alias("glen"))
+                ).alias("m")
+            )
+            .select(
+                "id",
+                (F.col("m.cnt") * F.col("m.glen")).alias(f"__cover{n}"),
+            )
+        )
+        out = out.join(top, "id", "left").withColumn(
+            f"top{n}gram_char_frac",
+            F.round(
+                F.when(
+                    F.col("__chars") > 0,
+                    F.coalesce(F.col(f"__cover{n}"), F.lit(0))
+                    / F.col("__chars").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ),
+        ).drop(f"__cover{n}")
+    return out.drop("__chars").withColumnRenamed("id", id_col)
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     max_line_df: int = 10,

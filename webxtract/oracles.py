@@ -541,6 +541,75 @@ FROM m
 
 ORACLES["gopher_quality"] = _gopher_sql()
 
+def _repetition_sql(ns: tuple[int, ...] = (2, 3, 4)) -> str:
+    """Twin of q_repetition_signals: planted repeated tail, line-dup
+    fractions, and per-n top-gram char coverage with the same
+    (count, gram-length) struct-max tie-break."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+    def gram_list(k: int) -> str:
+        joined = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(k))
+        return (
+            f"list_transform(range(1, greatest(len({toks}) - {k - 2}, 1)), "
+            f"i -> ({joined}))"
+        )
+
+    gram_ctes, joins, cols = [], [], []
+    for n in ns:
+        gram_ctes.append(f"""
+g{n} AS (
+  SELECT doc_id, unnest({gram_list(n)}) AS g FROM p
+),
+m{n} AS (
+  SELECT doc_id,
+         max(struct_pack(cnt := cnt, glen := glen)) AS m
+  FROM (SELECT doc_id, g, count(*) AS cnt, length(g) AS glen
+        FROM g{n} GROUP BY doc_id, g)
+  GROUP BY doc_id
+)""")
+        joins.append(f"LEFT JOIN m{n} USING (doc_id)")
+        cols.append(
+            f"round(CASE WHEN length(text) > 0 THEN "
+            f"coalesce(m{n}.m.cnt * m{n}.m.glen, 0) / CAST(length(text) AS DOUBLE) "
+            f"ELSE 0.0 END, 6) AS top{n}gram_char_frac"
+        )
+    f6 = (
+        f"list_aggregate(list_slice({toks}, 1, 6), 'string_agg', ' ')"
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || chr(10) || {f6} || chr(10) || {f6}
+         ELSE text END AS text
+  FROM documents
+),
+lf AS (
+  SELECT doc_id,
+    round(CASE WHEN len(regexp_split_to_array(text, '\\n')) > 0 THEN
+      (len(regexp_split_to_array(text, '\\n'))
+       - len(list_distinct(regexp_split_to_array(text, '\\n'))))
+      / CAST(len(regexp_split_to_array(text, '\\n')) AS DOUBLE)
+      ELSE 0.0 END, 6) AS dup_line_frac,
+    round(CASE WHEN list_sum(list_transform(regexp_split_to_array(text, '\\n'),
+                                            l -> length(l))) > 0 THEN
+      (list_sum(list_transform(regexp_split_to_array(text, '\\n'), l -> length(l)))
+       - list_sum(list_transform(list_distinct(regexp_split_to_array(text, '\\n')),
+                                 l -> length(l))))
+      / CAST(list_sum(list_transform(regexp_split_to_array(text, '\\n'),
+                                     l -> length(l))) AS DOUBLE)
+      ELSE 0.0 END, 6) AS dup_line_char_frac
+  FROM p
+),{",".join(gram_ctes)}
+SELECT p.doc_id, lf.dup_line_frac, lf.dup_line_char_frac,
+       {", ".join(cols)}
+FROM p JOIN lf USING (doc_id) {" ".join(joins)}
+ORDER BY p.doc_id
+"""
+
+
+ORACLES["repetition_signals"] = _repetition_sql()
+
 ORACLES["remove_boilerplate"] = f"""
 WITH d AS (
   SELECT doc_id,

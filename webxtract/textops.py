@@ -187,6 +187,62 @@ def gopher_flags_exprs(text: Column) -> dict[str, Column]:
     return out
 
 
+def word_grams_expr(text: Column, k: int) -> Column:
+    """ALL word k-grams in order (duplicates KEPT — repetition counting
+    needs multiplicity, unlike word_shingles_expr's distinct sets)."""
+    from webxtract.exprs import bind_once
+
+    return bind_once(
+        tokens_expr(text),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def line_repetition_exprs(text: Column) -> dict[str, Column]:
+    """Gopher-style intra-document line-repetition signals, pure
+    expressions: fraction of lines that are duplicate occurrences, and
+    fraction of line characters inside those duplicate occurrences
+    (beyond each line's first occurrence)."""
+    from webxtract.exprs import bind_once
+
+    def build(p: Column) -> Column:
+        lines, uniq = p["lines"], p["uniq"]
+        n = F.size(lines)
+        nd = F.size(uniq)
+        chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+        uchars = F.aggregate(uniq, F.lit(0), lambda a, l: a + F.length(l))
+        return F.struct(
+            F.when(n > 0, (n - nd) / n.cast("double")).otherwise(0.0).alias(
+                "dup_line_frac"
+            ),
+            F.when(chars > 0, (chars - uchars) / chars.cast("double"))
+            .otherwise(0.0)
+            .alias("dup_line_char_frac"),
+        )
+
+    s = bind_once(
+        F.struct(
+            F.split(F.coalesce(text, F.lit("")), r"\n").alias("lines"),
+            F.array_distinct(
+                F.split(F.coalesce(text, F.lit("")), r"\n")
+            ).alias("uniq"),
+        ),
+        build,
+    )
+    return {
+        "dup_line_frac": F.round(s["dup_line_frac"], 6),
+        "dup_line_char_frac": F.round(s["dup_line_char_frac"], 6),
+    }
+
+
 def lang_id_expr(text: Column) -> Column:
     """Stopword-overlap language ID: score per language = number of its
     stopwords present as tokens; argmax with fixed tie-break order.
