@@ -61,10 +61,21 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from webxtract.session import get_spark
 
+    # Mirror the DRIVER's seat: it hands queries() a default Spark 4
+    # session, where spark.sql.ansi.enabled=true. Round 3 shipped a bare
+    # element_at that only crashes under ANSI — invisible to the old
+    # replica because get_spark pins ansi=false. Default the replica to
+    # ANSI-ON; set WEBXTRACT_ORACLE_ANSI=false to test the lenient leg.
+    ansi = os.environ.get("WEBXTRACT_ORACLE_ANSI", "true")
     spark = get_spark(
         "oracle-check", master="local[8]", shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ansi.enabled": ansi,
+        },
     )
+    spark.conf.set("spark.sql.ansi.enabled", ansi)
+    print(f"oracle_check: spark.sql.ansi.enabled={ansi}", flush=True)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

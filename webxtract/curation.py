@@ -228,10 +228,13 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_cum = df.withColumn("shard", shard).withColumn(
-        "__cum", F.sum(tokens_col).over(w)
+        "__cum", F.sum(tokens_col).over(w).cast("bigint")
     )
-    seq_no = F.floor(
-        (F.col("__cum") - F.col(tokens_col)) / F.lit(token_budget)
+    # Integer floor-division (operands are non-negative, so `div` ==
+    # floor) instead of double floor: exact at any cum magnitude and
+    # engine-neutral with the oracle's `//`.
+    seq_no = F.expr(
+        f"(__cum - {tokens_col}) div {int(token_budget)}"
     ).cast("bigint")
     return (
         with_cum.withColumn("seq_no", seq_no)

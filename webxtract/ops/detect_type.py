@@ -538,12 +538,15 @@ def doc_type_expr(prefix: str = "") -> Column:
             p["keywords"], lambda k: F.contains(full_text_lower, F.lower(k))
         )
         kw_hits = F.size(matched_kws)
-        ont_first = F.element_at(
+        # try_element_at: the filtered array is empty when no indicator
+        # matches, and bare element_at throws under ANSI mode (Spark 4
+        # default) instead of returning NULL.
+        ont_first = F.try_element_at(
             F.filter(
                 ont_inds,
                 lambda i: F.contains(addr_lower, i) | F.contains(full_text_lower, i),
             ),
-            1,
+            F.lit(1),
         )
         ont_hit = p["ontario_bonus"] & ont_first.isNotNull()
         s = (

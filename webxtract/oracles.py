@@ -649,19 +649,23 @@ WITH t AS (
   FROM documents
 ),
 c AS (
+  -- CAST: DuckDB sum(BIGINT) is HUGEINT; a harness that fetches via
+  -- Arrow/pandas renders HUGEINT as float ("2047.0") and hash-diverges
+  -- from Spark's BIGINT ("2047"). Integer floor-div (//) instead of
+  -- float floor keeps seq_no arithmetic exact on both engines.
   SELECT doc_id, n_tokens, shard,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM t
 )
 SELECT shard,
-       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_no,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_no,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM c
-GROUP BY shard, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+GROUP BY shard, CAST((cum - n_tokens) // 2048 AS BIGINT)
 ORDER BY shard, seq_no
 """
 
