@@ -284,7 +284,10 @@ def _fake_body(x: Column) -> Column:
                     ).otherwise(F.split(dval, "/")[0]),
                 )
                 .otherwise(F.lit(None))
-                .cast("int")
+                # try_cast: the reference wraps int(year_str) in
+                # try/except -> None; bare cast throws under ANSI mode
+                # on a non-numeric year part instead of yielding NULL.
+                .try_cast("int")
             )
 
             def year_checks(year: Column) -> Column:

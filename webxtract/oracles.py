@@ -303,10 +303,12 @@ SELECT
   len(toks) AS n_tokens,
   len(list_distinct(toks)) AS n_distinct_tokens,
   round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
-  round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-        / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+  round(CASE WHEN length(text) > 0 THEN
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio,
+  round(CASE WHEN length(text) > 0 THEN
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        / CAST(length(text) AS DOUBLE) END, 6) AS digit_ratio,
   round(list_sum(list_transform(toks, x -> length(x)))
         / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len
 FROM t

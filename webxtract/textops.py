@@ -91,17 +91,28 @@ def quality_exprs(text: Column) -> dict[str, Column]:
     ratio, punctuation & digit ratios, mean token length — the
     length/punct/stopword heuristics of C4/Gopher-style filters."""
     toks = tokens_expr(text)
-    n_tokens = F.size(toks)
+    # size(NULL array) is -1 lenient but NULL under ANSI (legacy
+    # sizeOfNull is tied to the ANSI flag): pin NULL-text to NULL
+    # signals in BOTH modes — which is also what DuckDB's len(NULL)
+    # oracle computes.
+    n_tokens = F.when(text.isNotNull(), F.size(toks))
+    n_distinct = F.when(text.isNotNull(), F.size(F.array_distinct(toks)))
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_tokens": n_tokens.cast("bigint"),
-        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
-        "ttr": F.round(F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6),
-        "punct_ratio": F.round(n_punct / n_chars.cast("double"), 6),
-        "digit_ratio": F.round(n_digit / n_chars.cast("double"), 6),
+        "n_distinct_tokens": n_distinct.cast("bigint"),
+        "ttr": F.round(n_distinct / n_tokens.cast("double"), 6),
+        # Guard n_chars == 0 (empty text): x/0.0 is NULL lenient but
+        # DIVIDE_BY_ZERO under ANSI — emit a deterministic NULL in both.
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct / n_chars.cast("double")), 6
+        ),
+        "digit_ratio": F.round(
+            F.when(n_chars > 0, n_digit / n_chars.cast("double")), 6
+        ),
         "mean_token_len": F.round(
             F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
             / n_tokens.cast("double"),
@@ -168,6 +179,10 @@ def gopher_flags_exprs(text: Column) -> dict[str, Column]:
             (n_stop >= 2).alias("ok_stopwords"),
         )
 
+    # Coalesce NULL text to "": without it every ok_* flag is NULL and
+    # a NULL-text document is neither kept nor counted as rejected —
+    # inconsistent with line_repetition/remove_boilerplate NULL handling.
+    text = F.coalesce(text, F.lit(""))
     flags = bind_once(
         F.struct(
             tokens_expr(text).alias("toks"),
