@@ -168,10 +168,30 @@ def main() -> None:
         ("windowed_event_counts", contract.q_windowed_event_counts),
         ("ann_multiprobe_topk", contract.q_ann_multiprobe_topk),
     ]:
-        run(name, lambda fn=fn: _force(fn(spark, sf_dir)))
+        run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 
     total = round(sum(timings.values()), 3)
     extract_sec = timings["extract_only"]
+    # Per-pass walls + CPU/GC detail go to a FILE (and a non-final
+    # stdout line): embedding them in the headline JSON grew it past
+    # the driver's tail-capture window in round 3 (parsed: null). The
+    # LAST stdout line is the compact headline and must stay small.
+    detail = {
+        "cold_first_pass": cold,
+        "passes": passes,
+        "sf": sf,
+        "cpus": int(cpus),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "DETAIL.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh)
+        print(f"per-pass detail written to {detail_path}", flush=True)
+    except OSError as e:
+        print(f"detail write failed: {e}", flush=True)
     print(
         json.dumps(
             {
@@ -179,8 +199,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "cold_first_pass": cold,
-                "passes": passes,
                 "sf": sf,
                 "extraction_docs": n_docs,
                 "extraction_bytes": int(n_bytes),
@@ -188,7 +206,8 @@ def main() -> None:
                 "extraction_mb_per_sec": round(n_bytes / 1e6 / extract_sec, 2),
                 "cpus": int(cpus),
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -115,6 +115,20 @@ def test_deterministic_sample_is_narrow(spark):
     assert _nodes(plan, "Filter") >= 1
 
 
+def test_repetition_signals_is_shuffle_free(spark):
+    """Top-n-gram repetition statistics are document-local: the whole
+    operator must stay a single projection over one scan (sorted-gram
+    run-length scan per n), never the explode + groupBy + join-back
+    shape — the only exchange allowed is the query's output orderBy."""
+    from webxtract.contract import q_repetition_signals
+
+    plan = _plan(q_repetition_signals(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") <= 1  # output sort only
+    assert "Join" not in plan
+    assert _nodes(plan, "Generate") == 0  # no explode
+    assert _nodes(plan, "HashAggregate") == 0
+
+
 def test_pack_sequences_single_window_exchange(spark):
     """Packing is one shuffle on the shard key (the window), plus the
     final per-sequence aggregation reusing that partitioning where AQE

@@ -73,51 +73,32 @@ def repetition_signals(
     len(text), the repetition filter's core statistic (can exceed 1
     for self-overlapping grams; both engines define it identically).
 
-    Scale shape: one explode + two aggregations per n, all keyed on
-    (id, gram)/(id) — the max-by-count uses a struct max with the
-    (count, gram-length) tie-break so the chosen gram is deterministic
-    in both engines."""
-    from webxtract.textops import line_repetition_exprs, word_grams_expr
+    Scale shape: ZERO shuffles. n-gram counting is document-local, so
+    the top-gram statistic is computed inside one projection
+    (sort-the-gram-multiset + run-length scan per n,
+    ``top_gram_cover_expr``) instead of the previous explode +
+    groupBy(id, gram) + groupBy(id) + join-back per n — at 10^12 docs
+    that removed three full-corpus-width shuffle/join rounds."""
+    from webxtract.textops import line_repetition_exprs, top_gram_covers_expr
 
     text = F.coalesce(F.col(text_col), F.lit(""))
     line_sigs = line_repetition_exprs(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.length(text).alias("__chars"),
-        *[c.alias(n) for n, c in line_sigs.items()],
-    )
-    out = base
-    for n in ns:
-        grams = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_grams_expr(text, n)).alias("g"),
-        )
-        top = (
-            grams.groupBy("id", "g")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy("id")
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt"), F.length("g").alias("glen"))
-                ).alias("m")
-            )
-            .select(
-                "id",
-                (F.col("m.cnt") * F.col("m.glen")).alias(f"__cover{n}"),
-            )
-        )
-        out = out.join(top, "id", "left").withColumn(
-            f"top{n}gram_char_frac",
-            F.round(
-                F.when(
-                    F.col("__chars") > 0,
-                    F.coalesce(F.col(f"__cover{n}"), F.lit(0))
-                    / F.col("__chars").cast("double"),
-                ).otherwise(0.0),
-                6,
+    chars = F.length(text)
+    covers = top_gram_covers_expr(text, ns)  # one tokenization for all n
+    frac_cols = [
+        F.round(
+            F.when(chars > 0, covers[f"c{n}"] / chars.cast("double")).otherwise(
+                0.0
             ),
-        ).drop(f"__cover{n}")
-    return out.drop("__chars").withColumnRenamed("id", id_col)
+            6,
+        ).alias(f"top{n}gram_char_frac")
+        for n in ns
+    ]
+    return df.select(
+        F.col(id_col),
+        *[c.alias(nm) for nm, c in line_sigs.items()],
+        *frac_cols,
+    )
 
 
 def remove_boilerplate_lines(

@@ -221,6 +221,80 @@ def word_grams_expr(text: Column, k: int) -> Column:
     )
 
 
+def _run_length_cover_expr(sorted_grams: Column) -> Column:
+    """max over runs of (run length * gram length), lexicographic
+    (count, gram-length) tie-break, over a SORTED gram array. The O(T)
+    phase is a boundary filter of compares only — no per-element struct
+    allocation (a struct-accumulator aggregate measured ~3x slower)."""
+    from webxtract.exprs import bind_once
+
+    def scan(s: Column) -> Column:
+        n = F.size(s)
+        bounds = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+        )
+        nb = F.size(bounds)
+        ends = F.concat(F.slice(bounds, 2, nb - 1), F.array(n + 1))
+        runs = F.zip_with(
+            bounds,
+            ends,
+            lambda a, b: F.struct(
+                (b - a).cast("int").alias("cnt"),
+                F.length(F.element_at(s, a)).alias("glen"),
+            ),
+        )
+        best = F.array_max(runs)
+        return F.when(
+            n > 0, best["cnt"].cast("bigint") * best["glen"].cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    return bind_once(sorted_grams, scan)
+
+
+def top_gram_cover_expr(text: Column, k: int) -> Column:
+    """count(most frequent word k-gram) * len(that gram) — the Gopher
+    repetition filter's core statistic — computed DOCUMENT-LOCALLY as
+    one expression: sort the gram multiset, then run-length scan it,
+    keeping the lexicographic max of (count, gram-length) — the same
+    tie-break as a groupBy + max-struct form, with zero shuffles
+    instead of an explode + 2 aggregations + join per k. O(T log T)
+    sort + O(T) scan per document, all JVM-side. Empty/too-short
+    text -> 0."""
+    return _run_length_cover_expr(F.array_sort(word_grams_expr(text, k)))
+
+
+def top_gram_covers_expr(text: Column, ns: tuple) -> Column:
+    """Struct of ``top_gram_cover_expr`` for every n in ``ns``,
+    tokenizing the text ONCE (the per-k form re-splits per k — 3
+    tokenizations of every document for the standard {2,3,4})."""
+    from webxtract.exprs import bind_once
+
+    def build(toks: Column) -> Column:
+        def gram_lambda(k: int):
+            # factory closure: pyspark derives lambda arity from the
+            # signature, so `lambda i, k=k:` would be passed two Columns
+            return lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            )
+
+        covers = []
+        for k in ns:
+            grams = F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    gram_lambda(k),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            covers.append(
+                _run_length_cover_expr(F.array_sort(grams)).alias(f"c{k}")
+            )
+        return F.struct(*covers)
+
+    return bind_once(tokens_expr(text), build)
+
+
 def line_repetition_exprs(text: Column) -> dict[str, Column]:
     """Gopher-style intra-document line-repetition signals, pure
     expressions: fraction of lines that are duplicate occurrences, and
