@@ -17,12 +17,36 @@ from __future__ import annotations
 
 import asyncio
 import datetime as dt
+import json
 import pprint
 import sys
 import types
 
 REFERENCE = "/root/reference"
 RUN_DATE = "2026-01-15"
+
+
+def canon_details(d) -> dict:  # noqa: ANN001
+    """Canonicalize a reference details dict to the MAP<STRING,STRING>
+    the Spark battery emits (webxtract/ops/validators.py::_dmap):
+    bool -> true/false, round(x,1) floats -> %.1f, ints -> str,
+    list[str] -> '; '-joined, list[dict] -> compact JSON."""
+    out = {}
+    for k, v in (d or {}).items():
+        if isinstance(v, bool):
+            out[k] = "true" if v else "false"
+        elif isinstance(v, float):
+            out[k] = f"{v:.1f}"
+        elif isinstance(v, int):
+            out[k] = str(v)
+        elif isinstance(v, list):
+            if v and isinstance(v[0], dict):
+                out[k] = json.dumps(v, separators=(",", ":"))
+            else:
+                out[k] = "; ".join(str(x) for x in v)
+        else:
+            out[k] = str(v)
+    return out
 
 
 def _install_stubs() -> None:
@@ -322,24 +346,26 @@ def main() -> None:
                 us_drivers_license.USDriversLicenseValidator(),
             ]
         }
-        goldens: dict[str, tuple[str, str, str]] = {}
+        goldens: dict[str, tuple[str, str, str, dict]] = {}
         for case, vname, data in family_cases():
             res = asyncio.run(fam_validators[vname].validate(dict(data)))
             status = getattr(res.status, "value", res.status)
-            goldens[case] = (vname, str(status), res.message)
+            goldens[case] = (vname, str(status), res.message,
+                             canon_details(res.details))
         print("FAMILY_GOLDENS = \\")
         pprint.pprint(goldens, width=100)
         return
 
-    goldens: dict[str, dict[str, tuple[str, str]]] = {}
+    goldens: dict[str, dict[str, tuple[str, str, dict]]] = {}
     for name, venum, data, _expect in VALIDATOR_CASES:
         doc = dict(data)
         doc.setdefault("document_type", venum.replace("_drivers_license", ""))
-        out: dict[str, tuple[str, str]] = {}
+        out: dict[str, tuple[str, str, dict]] = {}
         for v in base_validators + [type_validators[venum]]:
             res = asyncio.run(v.validate(doc))
             status = getattr(res.status, "value", res.status)
-            out[res.validator_name] = (str(status), res.message)
+            out[res.validator_name] = (str(status), res.message,
+                                       canon_details(res.details))
         goldens[name] = out
 
     print("GOLDENS = \\")

@@ -367,12 +367,18 @@ def test_integrity_result_shape(full):
                 assert details.get("verifik_api_enabled") == "false"
 
     # failed results carry their issue list in details (the map analog
-    # of the reference's {"issues": [...]} copy, ontario_dl.py:236-241)
+    # of the reference's {"issues": [...]} copy, ontario_dl.py:236-241).
+    # document_expiry is the one exception by design: its fail branch
+    # carries branch-complete details {expiry_date, days_expired} with
+    # no issues copy (document_expiry.py:37-46).
     seen_failed = 0
     for _, r in got.iterrows():
         for v in r["validation_results"]:
             if v["status"] == "failed":
                 seen_failed += 1
                 details = dict(v["details"]) if v["details"] is not None else {}
-                assert details.get("issues"), (v["validator_name"], details)
+                if v["validator_name"] == "document_expiry":
+                    assert details.get("days_expired"), details
+                else:
+                    assert details.get("issues"), (v["validator_name"], details)
     assert seen_failed > 0
