@@ -109,10 +109,15 @@ def test_expression_layer_survives_garbage_ansi(spark):
     )
 
     def run():
+        from webxtract.ops.validators import type_specific_validator
+
         fields = with_parsed_dates(with_detection_inputs(df))
         dt = doc_type_expr()
         fd = fake_result_expr()
         vr = validation_results_expr(
+            dt["document_type"], F.to_date(F.lit("2026-01-15"))
+        )
+        ts = type_specific_validator(
             dt["document_type"], F.to_date(F.lit("2026-01-15"))
         )
         step = fields.select(
@@ -123,12 +128,18 @@ def test_expression_layer_survives_garbage_ansi(spark):
             fd["is_fake"].alias("is_fake"),
             fd["confidence"].alias("fk_conf"),
             vr.alias("results"),
+            # to_json defeats column pruning: the FULL result structs —
+            # including every details-map expression (ages, Luhn,
+            # DOB-encoding, version messages) — must evaluate under ANSI
+            F.to_json(vr).alias("results_json"),
+            F.to_json(ts).alias("ts_json"),
         )
         s = validation_summary_expr(F.col("results"))
         out = step.select(
             "doc_id", "document_type", "dt_conf", "features", "is_fake",
             "fk_conf", s["overall_status"].alias("overall_status"),
             s["validation_score"].alias("validation_score"),
+            "results_json", "ts_json",
         )
         return _snapshot(out)
 
