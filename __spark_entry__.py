@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": wrap(c.q_pii_redaction),
         "benchmark_overlap": wrap(c.q_benchmark_overlap),
         "url_canonicalize": wrap(c.q_url_canonicalize),
+        "host_stats": wrap(c.q_host_stats),
+        "domain_filter": wrap(c.q_domain_filter),
+        "normalize_text": wrap(c.q_normalize_text),
         "gopher_quality": wrap(c.q_gopher_quality),
         "deterministic_sample": wrap(c.q_deterministic_sample),
         "pack_sequences": wrap(c.q_pack_sequences),

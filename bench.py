@@ -152,6 +152,9 @@ def main() -> None:
         ("pii_redaction", contract.q_pii_redaction),
         ("benchmark_overlap", contract.q_benchmark_overlap),
         ("url_canonicalize", contract.q_url_canonicalize),
+        ("host_stats", contract.q_host_stats),
+        ("domain_filter", contract.q_domain_filter),
+        ("normalize_text", contract.q_normalize_text),
         ("gopher_quality", contract.q_gopher_quality),
         ("deterministic_sample", contract.q_deterministic_sample),
         ("pack_sequences", contract.q_pack_sequences),

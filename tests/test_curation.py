@@ -236,3 +236,64 @@ def test_dedup_components_transitive_chain(spark):
     )
     got = {r["id"]: r["component"] for r in dedup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_normalize_text_composition_and_controls(spark):
+    """NFC composes decomposed accents (e + U+0301 -> é), maps
+    singleton codepoints (ANGSTROM SIGN U+212B -> Å), strips
+    C0/DEL but keeps tab and newline, and preserves NULL text."""
+    from webxtract.curation import normalize_text
+
+    rows = [
+        (1, "Cafe\u0301"),
+        (2, "A\u212bB"),
+        (3, "a\x01b\x7fc\td\ne"),
+        (4, "plain"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert got[1]["text_norm"] == "Café" and got[1]["changed"]
+    assert got[1]["n_chars_before"] == 5 and got[1]["n_chars_after"] == 4
+    assert got[2]["text_norm"] == "AÅB" and got[2]["changed"]
+    assert got[3]["text_norm"] == "abc\td\ne" and got[3]["changed"]
+    assert got[4]["text_norm"] == "plain" and not got[4]["changed"]
+    assert got[5]["text_norm"] is None and not got[5]["changed"]
+
+
+def test_host_stats_rollup(spark):
+    from webxtract.curation import host_stats
+
+    rows = [
+        (1, "aaaa", "en", "https://A.example.com/x"),
+        (2, "bb", "fr", "http://a.EXAMPLE.com:8080/y?q=1"),
+        (3, "cccccc", "en", "https://other.net/"),
+        (4, None, "en", "not a url"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    )
+    got = {r["host"]: r for r in host_stats(df).collect()}
+    a = got["a.example.com"]
+    assert a["n_docs"] == 2 and a["total_chars"] == 6
+    assert a["avg_chars"] == 3.0 and a["n_langs"] == 2
+    assert got["other.net"]["n_docs"] == 1
+    assert got[""]["n_docs"] == 1 and got[""]["total_chars"] == 0
+
+
+def test_filter_blocked_domains_case_insensitive(spark):
+    from webxtract.curation import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://Spam.Example/x"),
+            (2, "https://keep.example/y"),
+            (3, "http://SPAM.EXAMPLE:80/z"),
+            (4, "garbage"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("spam.EXAMPLE",)], "host string")
+    out = filter_blocked_domains(docs, blocked)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 4]
+    assert out.columns == ["doc_id", "url"]

@@ -146,3 +146,36 @@ def test_cosine_topk_uses_takeordered(spark):
     plan = _plan(q_cosine_topk(spark, TESTDATA))
     # top-k must be per-partition heaps + driver merge, not a full sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_host_stats_partial_agg_no_join(spark):
+    """Per-host rollup: map-side partial aggregation before the host
+    exchange, and no join anywhere (the rollup is pure groupBy)."""
+    from webxtract.contract import q_host_stats
+
+    plan = _plan(q_host_stats(spark, TESTDATA))
+    assert _nodes(plan, "HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_domain_filter_broadcast_anti(spark):
+    """Blocklist filtering must be a broadcast LEFT ANTI: the corpus
+    never shuffles and the join never degrades to sort-merge."""
+    from webxtract.contract import q_domain_filter
+
+    plan = _plan(q_domain_filter(spark, TESTDATA))
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_normalize_text_is_narrow_arrow(spark):
+    """Text normalization is one narrow pass: the only exchange is the
+    query's output orderBy, and the NFC step runs on the Arrow-batched
+    pandas path (ArrowEvalPython), never row-at-a-time Python."""
+    from webxtract.contract import q_normalize_text
+
+    plan = _plan(q_normalize_text(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") == 1  # output sort only
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

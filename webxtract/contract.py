@@ -557,16 +557,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(pairs).orderBy("id")
 
 
-def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization over urls derived from doc_id: mixed-case
-    scheme/host, default ports, fragments and tracking params planted
-    per modulo class."""
-    from webxtract.curation import canonicalize_url_expr
-
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+def _synthetic_url_expr() -> F.Column:
+    """Deterministic per-doc_id URL with 4 modulo classes: mixed-case
+    scheme/host, default ports, fragments and tracking params — shared
+    by the URL-shaped contract queries (canonicalize / host stats /
+    domain filter) and replicated verbatim in their oracles."""
     m = F.col("doc_id") % 4
     ds = F.col("doc_id").cast("string")
-    url = (
+    return (
         F.when(m == 0, F.concat(F.lit("HTTPS://Example.COM:443/a/"), ds,
                                 F.lit("?utm_source=tw&id="), ds, F.lit("#frag")))
         .when(m == 1, F.concat(F.lit("http://News.Site.org:80/story-"), ds,
@@ -575,8 +573,63 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit("?id="), ds, F.lit("&utm_campaign=c&q=1")))
         .otherwise(F.concat(F.lit("https://plain.example/x/"), ds))
     )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over urls derived from doc_id: mixed-case
+    scheme/host, default ports, fragments and tracking params planted
+    per modulo class."""
+    from webxtract.curation import canonicalize_url_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = _synthetic_url_expr()
     return d.select(
         "doc_id", url.alias("url"), canonicalize_url_expr(url).alias("canonical")
+    )
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host rollup (docs, char mass, mean length, distinct langs)
+    over documents with synthetic urls — one partial-agged shuffle."""
+    from webxtract.curation import host_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", _synthetic_url_expr().alias("url")
+    )
+    return host_stats(d).orderBy("host")
+
+
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering: drop documents whose url host is on a
+    2-host blocklist (broadcast LEFT ANTI; corpus never shuffles)."""
+    from webxtract.curation import filter_blocked_domains
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url_expr().alias("url")
+    )
+    blocked = spark.createDataFrame(
+        [("News.Site.ORG",), ("plain.example",)], "host string"
+    )
+    return filter_blocked_domains(d, blocked).orderBy("doc_id")
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-char normalization over documents with
+    planted dirt: doc_id%5==0 gets a decomposed accent (e + U+0301), a
+    C0 control byte and an ANGSTROM SIGN appended; %5==1 gets a bare
+    BEL byte — normalization must compose, strip, and flag exactly."""
+    from webxtract.curation import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 5
+    planted = (
+        F.when(m == 0, F.concat(F.col("text"),
+                                F.lit(" Cafe\u0301\u0001\u212b")))
+        .when(m == 1, F.concat(F.col("text"), F.lit("\u0007")))
+        .otherwise(F.col("text"))
+    )
+    return normalize_text(d.select("doc_id", planted.alias("text"))).orderBy(
+        "doc_id"
     )
 
 

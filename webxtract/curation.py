@@ -341,3 +341,137 @@ def benchmark_overlap(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+# ------------------------------------------------------- text normalize
+
+# C0 controls (minus \t \n \r, which are legitimate whitespace) + DEL.
+# Java-regex ∩ RE2 \xNN escapes, so the DuckDB oracle runs the byte-same
+# pattern.
+CONTROL_CHAR_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+# host of scheme://host[:port]/... — class excludes :/?# so the port and
+# path never leak into the capture; scheme chars per RFC 3986.
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+
+
+def url_host_expr(url: Column) -> Column:
+    """Lower-cased registered host of a URL ('' when no scheme://host
+    prefix parses — callers group the unparseable residue under '')."""
+    return F.lower(F.regexp_extract(url, URL_HOST_RE, 1))
+
+
+def strip_control_chars_expr(text: Column) -> Column:
+    """Text with C0 control characters (except \\t \\n \\r) and DEL
+    removed — JVM regexp_replace, whole-stage codegen."""
+    return F.regexp_replace(text, CONTROL_CHAR_RE, "")
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched scalar pandas UDF
+    (pandas ``str.normalize`` == ``unicodedata.normalize('NFC', ...)``,
+    the same Unicode-standard mapping DuckDB's nfc_normalize applies).
+    Spark has no native NFC function, so this is the one deliberate
+    Python step in the normalize path; it is vectorized per Arrow
+    batch and NULL-preserving."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # noqa: ANN001, ANN202 — pandas Series -> Series
+        return s.str.normalize("NFC")
+
+    return _nfc(text)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus text normalization: strip C0 control chars/DEL, then
+    Unicode-NFC the result — the standard first pass before hashing,
+    dedup, or tokenization so byte-different but canonically-equal
+    documents (decomposed accents, compatibility codepoints, stray
+    control bytes from charset sniffing) hash identically downstream.
+
+    Scale shape: ZERO shuffles — one JVM regexp projection feeding one
+    Arrow-batched pandas UDF; NULL text stays NULL. Returns
+    (id, text_norm, changed, n_chars_before, n_chars_after)."""
+    raw = F.col(text_col)
+    norm = nfc_normalize_col(strip_control_chars_expr(raw))
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.coalesce(norm != raw, F.lit(False)).alias("changed"),
+        F.length(raw).alias("n_chars_before"),
+        F.length(norm).alias("n_chars_after"),
+    )
+
+
+# ------------------------------------------------------- host analytics
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host corpus statistics (doc count, char mass, mean doc
+    length, distinct languages) — the host-level view quality pipelines
+    rank/trim/blocklist from (a crawl's byte mass is Zipfian over
+    hosts; host-level decisions need exactly this rollup).
+
+    Scale shape: ONE shuffle on the host key with map-side partial
+    aggregation; the distinct-language count rides the same grouping
+    via Spark's distinct-aggregate Expand (rows duplicate 2x map-side,
+    still partially aggregated before the exchange — no second
+    full-corpus shuffle). Hot hosts are exactly the skewed keys AQE
+    skew-split handles; the payload entering the exchange is already
+    per-(host[,lang]) partial rows, not documents."""
+    host = url_host_expr(F.col(url_col))
+    chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    agg = (
+        df.select(host.alias("host"), chars.alias("chars"), F.col(lang_col))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.countDistinct(lang_col).alias("n_langs"),
+        )
+    )
+    # mean as one exact-int IEEE division (not F.avg): bit-identical in
+    # any engine, so oracles need no rounding-mode assumptions
+    return agg.select(
+        "host",
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars").cast("double") / F.col("n_docs"))
+        .alias("avg_chars"),
+        "n_langs",
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop every document whose URL host appears in a blocklist
+    (spam/SEO/adult domain lists — the standard crawl-curation gate).
+
+    Scale shape: blocklists are small by nature (10^4-10^6 hosts, KBs
+    to MBs) against a 10^12-row corpus, so the blocklist side is
+    deduplicated and broadcast and the join is a map-side LEFT ANTI —
+    the corpus never shuffles and the scan stays embarrassingly
+    parallel. Host matching is case-insensitive on both sides."""
+    host = url_host_expr(F.col(url_col))
+    bl = F.broadcast(
+        blocked.select(F.lower(F.col(host_col)).alias("__host")).distinct()
+    )
+    return (
+        df.withColumn("__host", host)
+        .join(bl, "__host", "left_anti")
+        .drop("__host")
+    )

@@ -445,13 +445,8 @@ FROM t
 """
 
 
-def _url_canon_sql() -> str:
-    """Twin of curation.canonicalize_url_expr over q_url_canonicalize's
-    planted urls. DuckDB regexp_replace replaces the first match (all
-    patterns are anchored, so first == all) and uses \\1 backrefs."""
-    from webxtract.curation import _TRACKING_PARAM_RE
-
-    url = r"""
+# contract._synthetic_url_expr twin — shared by every URL-shaped oracle
+_SYNTH_URL_SQL = """
     CASE doc_id % 4
       WHEN 0 THEN 'HTTPS://Example.COM:443/a/' || CAST(doc_id AS VARCHAR)
                   || '?utm_source=tw&id=' || CAST(doc_id AS VARCHAR) || '#frag'
@@ -461,7 +456,21 @@ def _url_canon_sql() -> str:
                   || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=c&q=1'
       ELSE 'https://plain.example/x/' || CAST(doc_id AS VARCHAR)
     END
-    """
+"""
+
+# curation.URL_HOST_RE twin (RE2 == Java semantics for this pattern)
+_HOST_SQL = (
+    "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+)
+
+
+def _url_canon_sql() -> str:
+    """Twin of curation.canonicalize_url_expr over q_url_canonicalize's
+    planted urls. DuckDB regexp_replace replaces the first match (all
+    patterns are anchored, so first == all) and uses \\1 backrefs."""
+    from webxtract.curation import _TRACKING_PARAM_RE
+
+    url = _SYNTH_URL_SQL
     return f"""
 WITH u AS (SELECT doc_id, {url} AS url FROM documents),
 nf AS (
@@ -499,6 +508,56 @@ FROM kp
 
 
 ORACLES["url_canonicalize"] = _url_canon_sql()
+
+ORACLES["host_stats"] = f"""
+WITH u AS (
+  SELECT doc_id, text, lang, {_SYNTH_URL_SQL} AS url FROM documents
+)
+SELECT {_HOST_SQL} AS host,
+  count(*) AS n_docs,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+  CAST(CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS DOUBLE)
+    / count(*) AS avg_chars,
+  count(DISTINCT lang) AS n_langs
+FROM u
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["domain_filter"] = f"""
+WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+SELECT doc_id, url
+FROM u
+WHERE {_HOST_SQL} NOT IN ('news.site.org', 'plain.example')
+ORDER BY doc_id
+"""
+
+# contract.q_normalize_text planting twin: chr(769)=U+0301 combining
+# acute, chr(1)=C0 control, chr(8491)=U+212B ANGSTROM SIGN, chr(7)=BEL.
+ORACLES["normalize_text"] = r"""
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN text || ' Cafe' || chr(769) || chr(1) || chr(8491)
+      WHEN 1 THEN text || chr(7)
+      ELSE text
+    END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id, text,
+    nfc_normalize(
+      regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')
+    ) AS text_norm
+  FROM p
+)
+SELECT doc_id, text_norm,
+  coalesce(text_norm != text, FALSE) AS changed,
+  length(text) AS n_chars_before,
+  length(text_norm) AS n_chars_after
+FROM n
+ORDER BY doc_id
+"""
 
 
 def _gopher_sql() -> str:
