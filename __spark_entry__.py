@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": wrap(c.q_pack_sequences),
         "remove_boilerplate": wrap(c.q_remove_boilerplate),
         "repetition_signals": wrap(c.q_repetition_signals),
+        "dedup_paragraphs": wrap(c.q_dedup_paragraphs),
+        "top_tokens": wrap(c.q_top_tokens),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

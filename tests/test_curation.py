@@ -297,3 +297,59 @@ def test_filter_blocked_domains_case_insensitive(spark):
     out = filter_blocked_domains(docs, blocked)
     assert sorted(r["doc_id"] for r in out.collect()) == [2, 4]
     assert out.columns == ["doc_id", "url"]
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """Keep-first global paragraph dedup: a paragraph shared across
+    docs survives only at its lowest (doc_id, pos); a within-doc repeat
+    keeps only the first copy; whitespace-only blocks never dedup; NULL
+    text keeps its row as empty."""
+    from webxtract.curation import dedup_paragraphs
+
+    promo = "Subscribe now"
+    rows = [
+        (1, f"intro one\n\n{promo}\n\nbody one"),
+        (2, f"{promo}\n\nbody two\n\n{promo}"),  # cross-doc + within-doc dup
+        (3, "body three\n\n   \n\nbody three"),  # ws-only block + self-dup
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_paras"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert got[1] == (f"intro one\n\n{promo}\n\nbody one", 0)
+    assert got[2] == ("body two", 2)  # both promo copies removed
+    # ws-only block survives (never dedups); second "body three" removed
+    assert got[3] == ("body three\n\n   ", 1)
+    assert got[4] == ("", 0)
+    assert len(got) == 4
+
+
+def test_dedup_paragraphs_blank_run_normalization(spark):
+    """\\n{2,} runs split as ONE separator (no empty paragraphs), and
+    the rebuild renormalizes them to a single blank line."""
+    from webxtract.curation import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a\n\n\n\nb\n\n\nc")], "doc_id long, text string"
+    )
+    row = dedup_paragraphs(df).collect()[0]
+    assert row["text"] == "a\n\nb\n\nc"
+    assert row["n_removed_paras"] == 0
+
+
+def test_top_tokens_order_and_filtering(spark):
+    """(count desc, token asc) total order; empty/NULL docs contribute
+    nothing; k caps the head."""
+    from webxtract.curation import top_tokens
+
+    df = spark.createDataFrame(
+        [(1, "b a b c a b"), (2, "  "), (3, None), (4, "c a")],
+        "doc_id long, text string",
+    )
+    got = [(r["token"], r["n"]) for r in top_tokens(df, k=2).collect()]
+    # a and b tie at 3 -> token asc breaks the tie
+    assert got == [("a", 3), ("b", 3)]
+    full = [(r["token"], r["n"]) for r in top_tokens(df, k=10).collect()]
+    assert full == [("a", 3), ("b", 3), ("c", 2)]

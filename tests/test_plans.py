@@ -179,3 +179,38 @@ def test_normalize_text_is_narrow_arrow(spark):
     assert _nodes(plan, "Exchange") == 1  # output sort only
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_paragraphs_shuffle_budget(spark):
+    """Paragraph dedup's documented scale shape: at most 4 exchanges
+    (winner agg on the hash, join-back, per-doc regroup, output sort —
+    one may collapse when AQE broadcasts the winner set), map-side
+    partial aggregation for both the struct-min winner and the rebuild,
+    and zero Python anywhere."""
+    from webxtract.contract import q_dedup_paragraphs
+
+    plan = _plan(q_dedup_paragraphs(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") <= 4
+    # partial + final for winner min(struct) and for the rebuild agg
+    agg_nodes = (
+        _nodes(plan, "SortAggregate")
+        + _nodes(plan, "HashAggregate")
+        + _nodes(plan, "ObjectHashAggregate")
+    )
+    assert agg_nodes >= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_top_tokens_partial_agg_topk(spark):
+    """Corpus vocabulary head: exactly ONE exchange (post-partial-count,
+    carrying ~vocab-size rows), and the global top-k is a
+    TakeOrderedAndProject — never a full sort of the vocabulary."""
+    from webxtract.contract import q_top_tokens
+
+    plan = _plan(q_top_tokens(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "HashAggregate") == 2
+    assert _nodes(plan, "TakeOrderedAndProject") == 1
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]

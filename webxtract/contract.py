@@ -717,6 +717,38 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(both, max_hamming=3).orderBy("a", "b")
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup over documents with
+    planted duplicates: every doc gets the same promo paragraph
+    appended (survives only in the lowest doc_id), and doc_id%3==0
+    additionally carries a within-doc repeated paragraph (the second
+    copy — and every copy in later docs — is removed)."""
+    from webxtract.curation import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit("\n\nSubscribe to our newsletter for daily updates!"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("\n\nLimited time offer.\n\nLimited time offer."),
+        ).otherwise(F.lit("")),
+    )
+    return dedup_paragraphs(d.select("doc_id", planted.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 whitespace-token frequencies (count desc,
+    token asc — a deterministic total order, so the top-k set is
+    engine-independent)."""
+    from webxtract.curation import top_tokens
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return top_tokens(d, k=50)
+
+
 # ------------------------------------------------------------ similarity
 
 

@@ -475,3 +475,104 @@ def filter_blocked_domains(
         .join(bl, "__host", "left_anti")
         .drop("__host")
     )
+
+
+# ------------------------------------------------ paragraph-level dedup
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide keep-first paragraph deduplication (the RefinedWeb /
+    Dolma pass that removes repeated paragraphs ACROSS documents, not
+    just repeated lines within a host's template): paragraphs equal up
+    to surrounding whitespace keep only their first occurrence in
+    (doc_id, position) order; every later occurrence — in the same
+    document or any other — is dropped, and each document's surviving
+    paragraphs are reassembled in order.
+
+    Paragraph = a ``\\n{2,}``-separated block, so blank-line runs
+    normalize to one separator on rebuild. Whitespace-only blocks never
+    participate in dedup (they carry no content and would otherwise
+    cross-delete unrelated documents' spacing); they are kept as-is.
+    NULL text is treated as empty text (the document keeps its row).
+
+    Scale shape: three shuffles, the heavy ones compact — the winner
+    aggregation ships only (hash, id, pos) triples with map-side
+    partial ``min`` (the struct min is algebraic), the join back to the
+    exploded paragraphs reuses the same hash partitioning, and only the
+    final per-document regroup carries surviving paragraph text. The
+    dedup key is the 60-bit engine-neutral md5 hash
+    (``stable_hash60_expr``), same contract as remove_boilerplate_lines.
+    Returns (id, text, n_removed_paras)."""
+    from webxtract.textops import stable_hash60_expr
+
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}")
+            ).alias("pos", "para"),
+        )
+        .withColumn("eligible", F.length(F.trim("para")) > 0)
+        .withColumn("h", stable_hash60_expr(F.trim(F.col("para"))))
+    )
+    winners = (
+        paras.filter("eligible")
+        .groupBy("h")
+        .agg(F.min(F.struct(F.col("id"), F.col("pos"))).alias("w"))
+    )
+    marked = paras.join(winners, "h", "left").withColumn(
+        "keep",
+        (~F.col("eligible"))
+        | ((F.col("w.id") == F.col("id")) & (F.col("w.pos") == F.col("pos"))),
+    )
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias(text_col),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed_paras"),
+    )
+    return rebuilt.select(
+        F.col("id").alias(id_col), text_col, "n_removed_paras"
+    )
+
+
+# ------------------------------------------------ corpus vocabulary
+
+
+def top_tokens(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k token frequencies — the vocabulary head every
+    tokenizer-training / contamination / quality audit starts from.
+    Whitespace tokens over trimmed text; empty tokens (empty or NULL
+    documents) are excluded. Deterministic total order: count
+    descending, then token ascending.
+
+    Scale shape: the explode is narrow; the token count partially
+    aggregates map-side (the Zipfian head collapses to one partial row
+    per (partition, token) before the exchange, so the shuffle carries
+    ~vocab-size rows, not corpus-token rows); the global top-k is a
+    TakeOrderedAndProject, never a full sort. Returns (token, n)."""
+    from webxtract.textops import tokens_expr
+
+    toks = df.select(
+        F.explode(
+            tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("token")
+    ).filter(F.length("token") > 0)
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)

@@ -738,6 +738,63 @@ WHERE ({_H60.format(s='CAST(doc_id AS VARCHAR)')} % 1000000)
 ORDER BY doc_id
 """
 
+# contract.q_dedup_paragraphs twin: same planted promo + within-doc
+# repeat, same keep-first-by-(doc_id,pos) winner per trimmed-paragraph
+# hash (row_number ORDER BY doc_id,pos == Spark's min(struct(id,pos))),
+# whitespace-only blocks exempt from dedup, blank-line runs normalized
+# to one chr(10)chr(10) separator on rebuild. Positions are 1-based
+# here vs Spark's 0-based posexplode — order-isomorphic, so winners
+# and rebuild order agree.
+ORACLES["dedup_paragraphs"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10) ||
+         'Subscribe to our newsletter for daily updates!' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || chr(10) || 'Limited time offer.' ||
+                   chr(10) || chr(10) || 'Limited time offer.'
+              ELSE '' END AS text
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(coalesce(text, ''), '\\n{{2,}}')) AS para,
+         generate_subscripts(
+           regexp_split_to_array(coalesce(text, ''), '\\n{{2,}}'), 1) AS pos
+  FROM d
+),
+m AS (
+  SELECT doc_id, pos, para,
+         length(trim(para)) > 0 AS eligible,
+         row_number() OVER (
+           PARTITION BY length(trim(para)) > 0,
+                        {_H60.format(s='trim(para)')}
+           ORDER BY doc_id, pos) AS rn
+  FROM p
+)
+SELECT doc_id,
+  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+             FILTER (WHERE NOT eligible OR rn = 1), '') AS text,
+  count(*) FILTER (WHERE eligible AND rn > 1) AS n_removed_paras
+FROM m
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# contract.q_top_tokens twin: whitespace tokens over trimmed text,
+# empty tokens excluded, (count desc, token asc) total order.
+ORACLES["top_tokens"] = """
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS token
+  FROM documents
+)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
 
 def _pii_sql() -> str:
     """Twin of q_pii_redaction: same planted text, same patterns (from
