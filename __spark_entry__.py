@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": wrap(c.q_repetition_signals),
         "dedup_paragraphs": wrap(c.q_dedup_paragraphs),
         "top_tokens": wrap(c.q_top_tokens),
+        "dedup_incremental": wrap(c.q_dedup_incremental),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

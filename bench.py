@@ -160,6 +160,9 @@ def main() -> None:
         ("pack_sequences", contract.q_pack_sequences),
         ("remove_boilerplate", contract.q_remove_boilerplate),
         ("repetition_signals", contract.q_repetition_signals),
+        ("dedup_paragraphs", contract.q_dedup_paragraphs),
+        ("top_tokens", contract.q_top_tokens),
+        ("dedup_incremental", contract.q_dedup_incremental),
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),

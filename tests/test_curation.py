@@ -353,3 +353,25 @@ def test_top_tokens_order_and_filtering(spark):
     assert got == [("a", 3), ("b", 3)]
     full = [(r["token"], r["n"]) for r in top_tokens(df, k=10).collect()]
     assert full == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_dedup_incremental_anti_join_and_keep_first(spark):
+    """Docs whose text was fingerprinted by a prior run never reappear;
+    within the increment, duplicate texts collapse keep-first with a
+    dup count; NULL text (NULL md5) is never matched away by the
+    anti-join."""
+    from webxtract.dedup import dedup_incremental
+
+    inc = spark.createDataFrame(
+        [(1, "old news"), (2, "fresh take"), (3, "fresh take"),
+         (4, "unique"), (5, None)],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([("old news",), ("gone",)], "text string") \
+        .selectExpr("md5(text) as text_hash")
+    got = {
+        r["text_hash"]: (r["keep_id"], r["dup_count"])
+        for r in dedup_incremental(inc, seen).collect()
+    }
+    vals = sorted(got.values())
+    assert vals == [(2, 2), (4, 1), (5, 1)]  # old news gone; keep-first

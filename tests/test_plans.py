@@ -214,3 +214,19 @@ def test_top_tokens_partial_agg_topk(spark):
     assert _nodes(plan, "HashAggregate") == 2
     assert _nodes(plan, "TakeOrderedAndProject") == 1
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_dedup_incremental_hash_only_payload(spark):
+    """Incremental dedup's scale shape: the anti-join and keep-first
+    agg run on md5-only payloads (text never shuffles), no Cartesian
+    product, no Python, and the seen side is pruned to its hash
+    column."""
+    from webxtract.contract import q_dedup_incremental
+
+    plan = _plan(q_dedup_incremental(spark, TESTDATA))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert _nodes(plan, "Exchange") <= 4
+    # map-side partial aggregation for the keep-first groups
+    assert _nodes(plan, "HashAggregate") >= 2

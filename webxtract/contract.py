@@ -464,6 +464,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents")).orderBy("text_hash")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup: documents with doc_id%7==0 play the
+    prior run's committed fingerprint table; the full corpus is the new
+    increment. Output = keep-first groups for texts NOT already seen."""
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.md5(F.col("text")).alias("text_hash")
+    )
+    return dedup.dedup_incremental(d, seen).orderBy("text_hash")
+
+
 def q_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-shingle Jaccard between consecutive doc_ids — a
     bounded, oracle-checkable slice of the n-gram dedup operator."""

@@ -144,6 +144,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_incremental(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Cross-run incremental exact dedup — the resumable-curation
+    primitive: a periodic crawl increment is deduplicated against the
+    fingerprint table committed by all PRIOR runs (anti-join on the
+    md5), then keep-first within the increment itself. Returns
+    (text_hash, keep_id, dup_count): exactly the rows whose hashes the
+    caller appends to the fingerprint table for the next run — dedup
+    state is a plain, idempotently-appendable table, never driver or
+    executor memory.
+
+    Scale shape: both the anti-join and the keep-first aggregation
+    hash-partition on the 128-bit md5; the seen side ships ONLY its
+    hash column (Catalyst prunes the rest) and the increment side ships
+    (hash, id) pairs — text never shuffles. No broadcast assumption: a
+    years-deep fingerprint table is large, so the anti-join is allowed
+    to stay a shuffled join (AQE still broadcasts a small seen side)
+    instead of OOMing on a forced build."""
+    inc = df.select(F.md5(F.col(text_col)).alias(hash_col), F.col(id_col))
+    fresh = inc.join(seen.select(hash_col), hash_col, "left_anti")
+    return fresh.groupBy(hash_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

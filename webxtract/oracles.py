@@ -781,6 +781,25 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+# contract.q_dedup_incremental twin: NOT EXISTS (not NOT IN) so a NULL
+# hash on either side can never collapse the result set — matching
+# Spark LEFT ANTI's null-never-matches semantics.
+ORACLES["dedup_incremental"] = """
+WITH seen AS (
+  SELECT md5(text) AS text_hash FROM documents WHERE doc_id % 7 = 0
+),
+inc AS (
+  SELECT md5(text) AS text_hash, doc_id FROM documents
+)
+SELECT text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM inc
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.text_hash = inc.text_hash)
+GROUP BY text_hash
+ORDER BY text_hash
+"""
+
 # contract.q_top_tokens twin: whitespace tokens over trimmed text,
 # empty tokens excluded, (count desc, token asc) total order.
 ORACLES["top_tokens"] = """
