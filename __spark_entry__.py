@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": wrap(c.q_dedup_paragraphs),
         "top_tokens": wrap(c.q_top_tokens),
         "dedup_incremental": wrap(c.q_dedup_incremental),
+        "temperature_mix": wrap(c.q_temperature_mix),
+        "chunk_tokens": wrap(c.q_chunk_tokens),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

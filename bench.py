@@ -163,6 +163,8 @@ def main() -> None:
         ("dedup_paragraphs", contract.q_dedup_paragraphs),
         ("top_tokens", contract.q_top_tokens),
         ("dedup_incremental", contract.q_dedup_incremental),
+        ("temperature_mix", contract.q_temperature_mix),
+        ("chunk_tokens", contract.q_chunk_tokens),
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),

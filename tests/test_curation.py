@@ -375,3 +375,76 @@ def test_dedup_incremental_anti_join_and_keep_first(spark):
     }
     vals = sorted(got.values())
     assert vals == [(2, 2), (4, 1), (5, 1)]  # old news gone; keep-first
+
+
+def test_temperature_mix_flattens_toward_rare_sources(spark):
+    """T=0.5 upweights rare sources relative to natural proportions;
+    rates cap at 1.0; the keep decision is key-deterministic (same
+    result under a different partitioning)."""
+    from webxtract.curation import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mix(df, n_target=500, temperature=0.5).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r["lang"]] = by_src.get(r["lang"], 0) + 1
+    # natural mix would keep small at 10%; sqrt-weights push it to
+    # sqrt(100)/(sqrt(900)+sqrt(100)) = 25% of the target
+    assert by_src["small"] / len(kept) > 0.15
+    # determinism across partitionings
+    kept2 = temperature_mix(
+        df.repartition(7), n_target=500, temperature=0.5
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in kept2
+    )
+
+
+def test_temperature_mix_rate_caps_at_one(spark):
+    """A source whose quota exceeds its size keeps every row (rate
+    capped at 1.0), never oversamples."""
+    from webxtract.curation import temperature_mix
+
+    rows = [(i, "only") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mix(df, n_target=500, temperature=1.0).collect()
+    assert len(kept) == 50
+
+
+def test_chunk_tokens_windows_overlap_and_tail(spark):
+    """chunk_size=4, overlap=1 -> stride 3: starts 1,4,7,...; chunks
+    share one token; the tail chunk is short; empty/NULL docs emit no
+    chunks."""
+    from webxtract.curation import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8"), (2, "  "), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = chunk_tokens(df, chunk_size=4, overlap=1).orderBy(
+        "doc_id", "chunk_no"
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_no"], r["n_tokens"], r["chunk_text"])
+        )
+    assert by_doc[1] == [
+        (1, 4, "t1 t2 t3 t4"),
+        (2, 4, "t4 t5 t6 t7"),
+        (3, 2, "t7 t8"),
+    ]
+    assert 2 not in by_doc and 3 not in by_doc
+    assert by_doc[4] == [(1, 1, "solo")]
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    from webxtract.curation import chunk_tokens
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_tokens(df, chunk_size=4, overlap=4)

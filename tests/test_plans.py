@@ -230,3 +230,29 @@ def test_dedup_incremental_hash_only_payload(spark):
     assert _nodes(plan, "Exchange") <= 4
     # map-side partial aggregation for the keep-first groups
     assert _nodes(plan, "HashAggregate") >= 2
+
+
+def test_temperature_mix_broadcast_rates_no_corpus_shuffle(spark):
+    """The rate table (#sources rows) broadcasts onto the corpus; the
+    corpus side never shuffles for the sampling decision — the only
+    exchanges are the tiny per-source count aggregation and the query's
+    output orderBy."""
+    from webxtract.contract import q_temperature_mix
+
+    plan = _plan(q_temperature_mix(spark, TESTDATA))
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # count-agg exchange (sources only) + broadcast + output sort; the
+    # corpus branch itself must contribute no shuffle
+    assert _nodes(plan, "Exchange") <= 3
+
+
+def test_chunk_tokens_is_narrow(spark):
+    """Token windowing is document-local: one scan, one generate, zero
+    joins; the only exchange is the query's output orderBy."""
+    from webxtract.contract import q_chunk_tokens
+
+    plan = _plan(q_chunk_tokens(spark, TESTDATA))
+    assert "Join" not in plan
+    assert _nodes(plan, "Exchange") == 1  # output sort only
+    assert _nodes(plan, "Generate") == 1

@@ -760,6 +760,30 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens(d, k=50)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: per-lang weights n_s^0.5
+    normalized, ~1000-doc target, content-hash-keyed keep rule."""
+    from webxtract.curation import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(d, n_target=1000, temperature=0.5).orderBy("doc_id")
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunks (32-token windows, 8-token overlap)
+    over the first 200 documents — per-chunk token counts and text."""
+    from webxtract.curation import chunk_tokens
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    return chunk_tokens(d, chunk_size=32, overlap=8).orderBy(
+        "doc_id", "chunk_no"
+    )
+
+
 # ------------------------------------------------------------ similarity
 
 

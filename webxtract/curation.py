@@ -576,3 +576,121 @@ def top_tokens(
     ).filter(F.length("token") > 0)
     counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+# ------------------------------------------------ source mixing / chunking
+
+
+def temperature_mix(
+    df: DataFrame,
+    n_target: int,
+    temperature: float = 0.5,
+    source_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    rebalancing rule of mC4/PaLM-style recipes): source s with n_s
+    documents gets sampling weight w_s = n_s^T / sum(n_s^T); T < 1
+    flattens the mix toward rare sources, T = 1 reproduces natural
+    proportions. Each source keeps ~w_s * n_target documents via the
+    same content-keyed deterministic rule as ``deterministic_sample``
+    (keep iff md5-bucket(key) < rate), so the selection is stable
+    across runs, partitionings and retries; per-source rates cap at
+    1.0 (a source can't over-sample itself).
+
+    The rate is rounded to 6 decimals BEFORE thresholding on both
+    engines so a last-ulp pow()/division difference between libms can
+    never flip a row across the keep boundary.
+
+    Scale shape: one tiny aggregation (distinct sources only —
+    hash-partial, the shuffle carries #sources rows) feeding a window
+    over the single-row total, then a broadcast join of the ≤#sources
+    rate table back onto the corpus — the corpus itself never
+    shuffles and the filter is a narrow map. Returns the kept rows'
+    (key, source)."""
+    from webxtract.textops import stable_hash60_expr
+
+    counts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("__n").cast("double"), F.lit(float(temperature)))
+    rates = counts.select(
+        "__src",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                pw / F.sum(pw).over(w_all) * F.lit(float(n_target))
+                / F.col("__n").cast("double"),
+            ),
+            6,
+        ).alias("__rate"),
+    )
+    bucket = F.pmod(
+        stable_hash60_expr(F.col(key_col).cast("string")), F.lit(SAMPLE_BUCKETS)
+    )
+    return (
+        df.select(F.col(key_col), F.col(source_col))
+        .join(F.broadcast(rates), F.col(source_col) == F.col("__src"))
+        # explicit round before the bigint threshold: the 6-dp rate
+        # times 1e6 is integer-valued up to FP error, and Spark's
+        # double->bigint cast truncates while DuckDB's rounds — round
+        # first so both engines see the identical integer.
+        .filter(
+            bucket
+            < F.round(F.col("__rate") * SAMPLE_BUCKETS, 0).cast("bigint")
+        )
+        .select(key_col, source_col)
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking (context-window packing for
+    pretraining, or RAG passage splitting): each document's whitespace
+    tokens are windowed into chunks of ``chunk_size`` tokens advancing
+    by ``chunk_size - overlap``, so consecutive chunks share
+    ``overlap`` tokens and no token is dropped; the final chunk may be
+    shorter. Empty/NULL documents produce no chunks.
+
+    Scale shape: fully narrow — one bound token split per document,
+    one sequence of window starts, one explode; zero shuffles, zero
+    Python. Returns (id, chunk_no, n_tokens, chunk_text)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    from webxtract.exprs import bind_once
+    from webxtract.textops import tokens_expr
+
+    toks = F.filter(
+        tokens_expr(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: F.length(t) > 0,
+    )
+
+    def build(tk: Column) -> Column:
+        return F.when(
+            F.size(tk) > 0, F.sequence(F.lit(1), F.size(tk), F.lit(stride))
+        ).otherwise(F.array().cast("array<int>"))
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("tk"),
+    ).select(
+        "id",
+        "tk",
+        F.explode(bind_once(F.col("tk"), build)).alias("s"),
+    )
+    chunk = F.slice(F.col("tk"), F.col("s"), chunk_size)
+    return exploded.select(
+        F.col("id").alias(id_col),
+        ((F.col("s") - 1) / stride + 1).cast("int").alias("chunk_no"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -814,6 +814,53 @@ ORDER BY n DESC, token
 LIMIT 50
 """
 
+# contract.q_temperature_mix twin: per-lang weights n^0.5 normalized,
+# rate = min(1, w * 1000 / n) rounded to 6 dp BEFORE thresholding (both
+# engines compute pow/sum in doubles; the rounding absorbs last-ulp libm
+# and summation-order differences), then the deterministic_sample keep
+# rule. round(rate*1e6, 0) before the BIGINT cast because DuckDB's
+# double->int cast rounds while Spark's truncates.
+ORACLES["temperature_mix"] = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         round(least(1.0,
+                     pow(n, 0.5) / sum(pow(n, 0.5)) OVER ()
+                     * 1000 / n), 6) AS rate
+  FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE ({_H60.format(s='CAST(d.doc_id AS VARCHAR)')} % 1000000)
+      < CAST(round(rate * 1000000, 0) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+# contract.q_chunk_tokens twin: whitespace tokens (same split as
+# top_tokens), window starts 1, 1+24, 1+48, ... (generate_series is
+# inclusive, matching F.sequence), 1-based inclusive list slice of 32
+# tokens clamped at the tail. Empty/NULL docs produce no chunks.
+ORACLES["chunk_tokens"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                     t -> length(t) > 0) AS tk
+  FROM documents WHERE doc_id < 200
+),
+starts AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk), 24)) AS s
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) // 24 + 1 AS INT) AS chunk_no,
+       CAST(len(tk[s : s + 31]) AS INT) AS n_tokens,
+       array_to_string(tk[s : s + 31], ' ') AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_no
+"""
+
 
 def _pii_sql() -> str:
     """Twin of q_pii_redaction: same planted text, same patterns (from
