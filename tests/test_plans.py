@@ -119,13 +119,26 @@ def test_repetition_signals_is_shuffle_free(spark):
     """Top-n-gram repetition statistics are document-local: the whole
     operator must stay a single projection over one scan (sorted-gram
     run-length scan per n), never the explode + groupBy + join-back
-    shape — the only exchange allowed is the query's output orderBy."""
+    shape. The OPERATOR itself adds zero exchanges (first assert, on
+    its own plan); the contract query additionally carries an explicit
+    input repartition — a fixture for the single-row-group sandbox
+    table — and its output orderBy, nothing else."""
     from webxtract.contract import q_repetition_signals
+    from webxtract.curation import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    op_plan = _plan(repetition_signals(df))
+    assert _nodes(op_plan, "Exchange") == 0
+    assert "Join" not in op_plan
+    assert _nodes(op_plan, "Generate") == 0  # no explode
+    assert _nodes(op_plan, "HashAggregate") == 0
 
     plan = _plan(q_repetition_signals(spark, TESTDATA))
-    assert _nodes(plan, "Exchange") <= 1  # output sort only
+    assert _nodes(plan, "Exchange") <= 2  # input fixture + output sort
     assert "Join" not in plan
-    assert _nodes(plan, "Generate") == 0  # no explode
+    assert _nodes(plan, "Generate") == 0
     assert _nodes(plan, "HashAggregate") == 0
 
 

@@ -671,10 +671,21 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition statistics over documents with a planted
     repeated tail (doc_id%3==0 gets its first 6 words appended twice,
-    exercising non-trivial top-gram coverage)."""
+    exercising non-trivial top-gram coverage).
+
+    The input repartition is a sandbox-layout fixture, not part of the
+    operator: the testdata table is ONE parquet row group, so the
+    CPU-heavy per-document scan would otherwise run as a single task —
+    a production Common-Crawl table arrives in thousands of splits and
+    needs no such step. The operator itself stays exchange-free
+    (asserted on its own plan in tests/test_plans.py)."""
     from webxtract.curation import repetition_signals
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32)
+    )
     first6 = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 6), " ")
     planted = d.select(
         "doc_id",
