@@ -622,3 +622,49 @@ def test_minhash_banding_finds_planted_near_dup(spark):
     got = {(r["a"], r["b"]): r["jaccard"] for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
     assert (0, 1) in got and got[(0, 1)] > 0.8
     assert all(2 not in pair for pair in got)
+
+
+def test_dedup_stream_cross_drop_and_restart(spark, tmp_path):
+    """Streaming exact dedup: duplicates across separate drops collapse
+    keep-first; a restart from the checkpoint still remembers hashes
+    from the prior run (state survives); NULL-text pages key on url and
+    never collapse into one; re-running with no new drops emits nothing
+    (exactly-once)."""
+    import datetime as dt
+
+    from webxtract.streaming import start_dedup_stream
+
+    ts = dt.datetime(2026, 1, 15, 12, 0, 0)
+    drops = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            [(u, ts, None, t, "en") for u, t in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).coalesce(1).write.mode("append").parquet(drops)
+
+    drop("d1", [("u1", "alpha"), ("u2", "alpha"), ("u3", "beta"),
+                ("u4", None), ("u5", None)])
+    q = start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
+    q.awaitTermination(300)
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    # one of u1/u2 survives (first arrival within the batch), beta
+    # survives, BOTH null-text pages survive
+    assert "u3" in got and "u4" in got and "u5" in got
+    assert len(got & {"u1", "u2"}) == 1
+    assert len(got) == 4
+
+    # second run: a late duplicate of alpha + one genuinely new page
+    drop("d2", [("u6", "alpha"), ("u7", "gamma")])
+    q2 = start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
+    q2.awaitTermination(300)
+    got2 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert "u7" in got2 and "u6" not in got2  # state survived restart
+    assert len(got2) == 5
+
+    # third run, nothing new: exactly-once, no re-emission
+    q3 = start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
+    q3.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 5

@@ -298,3 +298,50 @@ def sessionize_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "24 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: the streaming twin of
+    ``dedup.exact_dedup``'s keep-first contract for incremental page
+    drops — a page whose md5(text) was already seen (in this run OR a
+    prior checkpointed run) within the watermark horizon is dropped;
+    the first arrival passes through unchanged.
+
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state BOUNDED: a
+    hash is held only until the event-time watermark passes it, so
+    state size tracks the crawl-recency window, not corpus history —
+    a plain streaming dropDuplicates would grow driver-unbounded state
+    at 100 TB/day ingest. Recrawls older than the watermark are the
+    (documented) false-negative tradeoff; the batch
+    ``dedup_incremental`` against the committed fingerprint table is
+    the unbounded-horizon complement. Exactly-once via the checkpoint
+    (file-source offsets + sink manifest + dedup state snapshots);
+    NULL-text pages key on their url instead of the (NULL) hash, so
+    two textless pages never collapse into one."""
+    stream = read_page_stream(spark, input_path)
+    hashed = stream.select(
+        "*",
+        F.coalesce(
+            F.md5(F.col("text")),
+            F.concat(F.lit("nulltext:"), F.col("url")),
+        ).alias("text_hash"),
+    )
+    deduped = hashed.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["text_hash"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
