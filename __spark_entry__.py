@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": wrap(c.q_sessionize_events),
         "windowed_event_counts": wrap(c.q_windowed_event_counts),
         # extraction operators (S1-S3, E1-E5)
+        "warc_roundtrip": wrap(c.q_warc_roundtrip),
+        "warc_cdx": wrap(c.q_warc_cdx),
         "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
         "extract_pdf_roundtrip": wrap(c.q_extract_pdf_roundtrip),
         "page_concat_e5": wrap(c.q_page_concat_e5),

@@ -168,6 +168,8 @@ def main() -> None:
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),
+        ("warc_roundtrip", contract.q_warc_roundtrip),
+        ("warc_cdx", contract.q_warc_cdx),
         ("pdf_page_explode", contract.q_pdf_page_explode),
         ("media_normalize", contract.q_media_normalize),
         ("media_resize", contract.q_media_resize),

@@ -1,0 +1,204 @@
+"""WARC container source: serializer <-> distributed reader round-trip,
+CDX random access, pages-contract adapter, ANSI neutrality.
+
+Reference analog: the service ingests one uploaded file per request and
+sniffs its type (`app/api/routes/ocr.py:94-141`); at web scale the same
+bytes arrive as Common-Crawl-style .warc.gz segments. The invariant
+under test is byte-identity: pages -> WARC bytes -> read_warc ->
+warc_to_pages must reproduce the original html/text payloads exactly,
+so extraction over WARC input equals extraction over parquet input.
+"""
+
+import datetime as dt
+import gzip
+import hashlib
+import os
+
+import pytest
+
+from webxtract import warc as W
+
+RUN_DATE = "2026-01-15"
+
+
+def _content_type(row) -> str:
+    if row.text is not None:
+        return "text/plain; charset=utf-8"
+    if row.html is not None and bytes(row.html)[:5] == b"%PDF-":
+        return "application/pdf"
+    return "text/html; charset=utf-8"
+
+
+def _payload(row) -> bytes:
+    if row.text is not None:
+        return row.text.encode("utf-8")
+    return bytes(row.html) if row.html is not None else b""
+
+
+@pytest.fixture(scope="module")
+def warc_dir(spark, corpus, tmp_path_factory):
+    """First 120 synth pages serialized into 3 .warc.gz segments."""
+    pages_path, _ = corpus
+    rows = (
+        spark.read.parquet(pages_path)
+        .orderBy("url")
+        .limit(120)
+        .collect()
+    )
+    root = tmp_path_factory.mktemp("warc")
+    seg = 0
+    for start in range(0, len(rows), 40):
+        chunk = rows[start:start + 40]
+        W.write_warc_gz(
+            str(root / f"seg-{seg:05d}.warc.gz"),
+            (
+                W.warc_response_record(
+                    r.url,
+                    (r.warc_ts or dt.datetime(2025, 6, 1)).strftime(
+                        "%Y-%m-%dT%H:%M:%SZ"
+                    ),
+                    _payload(r),
+                    content_type=_content_type(r),
+                )
+                for r in chunk
+            ),
+        )
+        seg += 1
+    return str(root), {r.url: r for r in rows}
+
+
+def test_serializer_deterministic():
+    rec = W.warc_response_record(
+        "http://example.com/a", "2025-06-01T00:00:00Z", b"<html>hi</html>"
+    )
+    rec2 = W.warc_response_record(
+        "http://example.com/a", "2025-06-01T00:00:00Z", b"<html>hi</html>"
+    )
+    assert rec == rec2
+    assert gzip.compress(rec, mtime=0) == gzip.compress(rec2, mtime=0)
+    hdrs, body = W._parse_record(rec)
+    assert hdrs["warc-type"] == "response"
+    assert hdrs["warc-target-uri"] == "http://example.com/a"
+    status, ctype, charset, payload = W._parse_http(body)
+    assert status == 200
+    assert charset == "utf-8"
+    assert payload == b"<html>hi</html>"
+
+
+def test_member_iteration_offsets(tmp_path):
+    recs = [
+        W.warc_response_record(
+            f"http://h{i}.example.com/", "2025-06-01T00:00:00Z", f"p{i}".encode()
+        )
+        for i in range(5)
+    ]
+    path = str(tmp_path / "seg.warc.gz")
+    assert W.write_warc_gz(path, iter(recs)) == 5
+    data = open(path, "rb").read()
+    members = list(W._iter_members(data))
+    assert len(members) == 5
+    assert members[0][0] == 0
+    assert sum(m[1] for m in members) == len(data)
+    # every (offset, length) slice decompresses to its own record
+    for (off, ln, raw), rec in zip(members, recs):
+        assert gzip.decompress(data[off:off + ln]) == rec == raw
+
+
+def test_read_warc_roundtrip(spark, warc_dir):
+    root, by_url = warc_dir
+    out = W.read_warc(spark, root).collect()
+    assert len(out) == len(by_url)
+    for r in out:
+        src = by_url[r.url]
+        assert bytes(r.payload) == _payload(src)
+        assert r.http_status == 200
+        assert r.payload_digest == W.payload_digest(_payload(src))
+        assert r.record_type == "response"
+        assert r.warc_ts is not None
+
+
+def test_warc_to_pages_extraction_equality(spark, warc_dir):
+    from webxtract.ops.extract import extract_pages
+
+    root, by_url = warc_dir
+    urls = sorted(by_url)
+    direct_rows = [
+        (u, by_url[u].warc_ts, by_url[u].html, by_url[u].text, by_url[u].lang)
+        for u in urls
+    ]
+    direct = spark.createDataFrame(
+        direct_rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    via_warc = W.warc_to_pages(W.read_warc(spark, root))
+    a = {
+        r.url: (r.extracted_text, r.source_kind, r.parse_failure)
+        for r in extract_pages(direct).collect()
+    }
+    b = {
+        r.url: (r.extracted_text, r.source_kind, r.parse_failure)
+        for r in extract_pages(via_warc).collect()
+    }
+    assert a == b  # byte-identical extracted text per url through WARC
+
+
+def test_cdx_random_access(spark, warc_dir):
+    root, by_url = warc_dir
+    cdx = W.cdx_index(W.read_warc(spark, root)).collect()
+    assert len(cdx) == len(by_url)
+    for row in cdx:
+        rec = W.read_warc_record(row.filename, row.offset, row.length)
+        assert rec["url"] == row.url
+        assert rec["payload_digest"] == row.digest
+        assert rec["payload"] == _payload(by_url[row.url])
+    # SURT key shape
+    k = {row.url: row.urlkey for row in cdx}
+    some_url = next(iter(k))
+    assert ")" in k[some_url] and not k[some_url].startswith("http")
+
+
+def test_surt_key_exprs(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("https://www.Example.COM/Path?q=1",),
+            ("http://a.b.example.org/x/y",),
+        ],
+        "url string",
+    )
+    got = [r.k for r in df.select(W._surt_key(F.col("url")).alias("k")).collect()]
+    assert got == ["com,example)/path?q=1", "org,example,b,a)/x/y"]
+
+
+def test_warc_exprs_ansi_neutral(spark, warc_dir):
+    root, _ = warc_dir
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        n = W.warc_to_pages(W.read_warc(spark, root)).count()
+        m = W.cdx_index(W.read_warc(spark, root)).count()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert n == m > 0
+
+
+def test_plain_warc_and_garbage_tail(tmp_path, spark):
+    """Uncompressed .warc (multi-record) and a corrupt tail are handled
+    without error — quarantine-by-skip, the S1 routing philosophy."""
+    recs = [
+        W.warc_response_record(
+            f"http://p{i}.example.com/", "2025-06-01T00:00:00Z", f"x{i}".encode()
+        )
+        for i in range(3)
+    ]
+    path = str(tmp_path / "seg.warc")
+    with open(path, "wb") as fh:
+        for r in recs:
+            fh.write(r)
+        fh.write(b"NOT A WARC RECORD")
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    assert sorted(r.url for r in rows) == [f"http://p{i}.example.com/" for i in range(3)]
+    # random access by in-file byte coords works for plain segments too
+    first = next(r for r in rows if r.url == "http://p0.example.com/")
+    rec = W.read_warc_record(first.warc_file, first.record_offset, first.record_length)
+    assert rec["payload"] == b"x0"

@@ -853,3 +853,84 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(
         both, threshold=0.9, dim=64, planes_per_band=16, n_bands=2
     ).orderBy("a", "b")
+
+
+# ------------------------------------------------------------ WARC source
+
+
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic .warc.gz segments derived from the documents
+    table: the first 240 docs by doc_id serialized as text/plain
+    response records (url = http://docs.example.com/<doc_id>, fixed
+    WARC-Date, mtime=0 gzip members) into 4 segment files under the
+    system temp dir. Pure function of the table -> identical bytes on
+    every call; rewritten per call so staleness is impossible."""
+    import hashlib
+    import os
+    import tempfile
+
+    from webxtract import warc as W
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(240)
+        .select("doc_id", "text")
+        .collect()
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "webxtract_warc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(root, exist_ok=True)
+    for seg, start in enumerate(range(0, len(rows), 60)):
+        W.write_warc_gz(
+            os.path.join(root, f"seg-{seg:05d}.warc.gz"),
+            (
+                W.warc_response_record(
+                    f"http://docs.example.com/{r.doc_id}",
+                    "2025-06-01T00:00:00Z",
+                    r.text.encode("utf-8"),
+                    content_type="text/plain; charset=utf-8",
+                )
+                for r in rows[start:start + 60]
+            ),
+        )
+    return root
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round-trip: documents -> .warc.gz segments ->
+    distributed read_warc -> per-record byte counts + md5. The WARC
+    layer cancels exactly iff serialization+parsing preserve payload
+    bytes, so the oracle is computable from the documents table alone
+    (strlen/md5 over the same utf-8 bytes)."""
+    from webxtract import warc as W
+
+    root = _warc_fixture(spark, sf_dir)
+    recs = W.read_warc(spark, root)
+    return recs.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("text_md5"),
+        F.col("http_status").cast("int").alias("status"),
+    ).orderBy("doc_id")
+
+
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index build over the same fixture: SURT url key, 14-digit
+    timestamp, mime, status — the SQL-derivable subset of the index
+    row (record offset/length/digest are random-access coordinates
+    verified byte-for-byte in tests/test_warc.py instead)."""
+    from webxtract import warc as W
+
+    root = _warc_fixture(spark, sf_dir)
+    cdx = W.cdx_index(W.read_warc(spark, root))
+    return cdx.select(
+        "urlkey",
+        "timestamp",
+        "url",
+        "mime",
+        F.col("status").cast("int").alias("status"),
+    ).orderBy("urlkey")

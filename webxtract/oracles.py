@@ -1141,3 +1141,38 @@ scored AS (
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id LIMIT 10
 """
+
+
+# contract.q_warc_roundtrip twin: the WARC container layer cancels
+# exactly iff serializer+parser preserve payload bytes, so the truth is
+# computable from the documents table alone (strlen/md5 hash the same
+# utf-8 bytes the record carries).
+ORACLES["warc_roundtrip"] = """
+SELECT doc_id,
+       strlen(text)          AS n_bytes,
+       md5(text)             AS text_md5,
+       CAST(200 AS INTEGER)  AS status
+FROM (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL
+  ORDER BY doc_id LIMIT 240
+)
+ORDER BY doc_id
+"""
+
+# contract.q_warc_cdx twin: urlkey/timestamp/mime/status are pure
+# functions of the fixture construction (SURT of the synthetic url,
+# fixed WARC-Date, text/plain records).
+ORACLES["warc_cdx"] = """
+SELECT 'com,example,docs)/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       '20250601000000'                                AS timestamp,
+       'http://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       'text/plain'                                    AS mime,
+       CAST(200 AS INTEGER)                            AS status
+FROM (
+  SELECT doc_id FROM documents
+  WHERE text IS NOT NULL
+  ORDER BY doc_id LIMIT 240
+)
+ORDER BY urlkey
+"""

@@ -1,0 +1,378 @@
+"""WARC segment source/sink — Common-Crawl-style container ingestion.
+
+The reference service ingests one uploaded file per request
+(`/root/reference/app/api/routes/ocr.py:94-141` reads the multipart
+body and sniffs its content type); at web scale the same bytes arrive
+as WARC archives, the Common Crawl container: each record is an
+independently-gzipped member and members are concatenated into
+``.warc.gz`` segment files. This module is the S1 ingestion analog for
+that shape:
+
+- ``warc_response_record`` / ``write_warc_gz``: a deterministic
+  WARC/1.0 serializer (synth + test side; per-record gzip members,
+  ``mtime=0`` so identical inputs give identical bytes);
+- ``read_warc``: ``binaryFile`` scan -> ``mapInPandas`` record parser
+  yielding one row per record with the member's exact
+  ``(offset, length)`` inside its segment — the CDX random-access
+  contract;
+- ``cdx_index``: the CDX-style index projection (SURT url key,
+  14-digit timestamp, mime, status, digest, offset/length/filename);
+- ``read_warc_record``: single-record random access by
+  ``(path, offset, length)`` — proves a CDX pointer alone reconstructs
+  the record (the selective re-parse path at scale);
+- ``warc_to_pages``: adapter onto the ``pages(url, warc_ts, html,
+  text, lang)`` contract consumed by ``extract_pages``.
+
+Scale shape: Common Crawl ships ~64k segment files of ~1 GiB per
+crawl, so file-level parallelism alone saturates any fleet; per-record
+gzip members additionally let a reader resync at any member boundary
+(this is how CC's own jobs split segments). Here ``binaryFile`` is the
+segment reader — one task parses one segment's member chain
+sequentially (gzip members cannot be split *within* a member anyway) —
+and every output row carries ``(warc_file, record_offset,
+record_length)`` lineage so downstream ops re-open single records
+without rescanning segments. No per-row Python: parsing is
+Arrow-batched ``mapInPandas`` over whole segments.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import hashlib
+import io
+import re
+import zlib
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType(), True),
+        StructField("record_offset", LongType(), True),
+        StructField("record_length", LongType(), True),
+        StructField("record_type", StringType(), True),
+        StructField("url", StringType(), True),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("charset", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("payload_digest", StringType(), True),
+    ]
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+# ------------------------------------------------------------- serializer
+
+
+def _det_record_id(url: str, date_iso: str) -> str:
+    """Deterministic urn:uuid record id (md5-derived; the spec only
+    requires global uniqueness, and determinism is what makes the
+    synth corpus reproducible byte-for-byte)."""
+    h = hashlib.md5((url + "\n" + date_iso).encode("utf-8")).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def payload_digest(payload: bytes) -> str:
+    """CC convention: ``sha1:`` + base32(sha1(payload))."""
+    return "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode("ascii")
+
+
+def warc_response_record(
+    url: str,
+    date_iso: str,
+    payload: bytes,
+    content_type: str = "text/html; charset=utf-8",
+    status: int = 200,
+) -> bytes:
+    """One uncompressed WARC/1.0 response record (WARC headers + an
+    HTTP/1.1 response block) with trailing record separator."""
+    http = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("latin-1") + payload
+    warc_head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: {_det_record_id(url, date_iso)}\r\n"
+        f"WARC-Date: {date_iso}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Payload-Digest: {payload_digest(payload)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("utf-8")
+    return warc_head + http + _CRLF2
+
+
+def write_warc_gz(path: str, records: Iterator[bytes]) -> int:
+    """Concatenated per-record gzip members (the CC segment layout);
+    ``mtime=0`` keeps output bytes a pure function of input. Returns
+    the record count."""
+    n = 0
+    with open(path, "wb") as fh:
+        for rec in records:
+            fh.write(gzip.compress(rec, mtime=0))
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------- parser
+
+
+def _iter_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, compressed_length, raw_bytes) per gzip member of a
+    concatenated-member segment; a non-gzip buffer is yielded whole at
+    offset 0 (plain ``.warc`` support)."""
+    if not data.startswith(b"\x1f\x8b"):
+        yield 0, len(data), data
+        return
+    pos, n = 0, len(data)
+    view = memoryview(data)  # zero-copy tails: a 1 GiB segment holds
+    # tens of thousands of members, and bytes-slicing the remainder per
+    # member would be quadratic in segment size
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(view[pos:])
+        raw += d.flush()
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:  # corrupt tail: stop rather than spin
+            return
+        yield pos, consumed, raw
+        pos += consumed
+
+
+def _split_records(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset_in_raw, length_in_raw, record_bytes) for each WARC
+    record in an uncompressed buffer (one per gzip member in CC
+    segments, but plain .warc files chain many)."""
+    pos, n = 0, len(raw)
+    while pos < n:
+        if raw[pos:pos + 5] != b"WARC/":
+            nxt = raw.find(b"WARC/", pos)
+            if nxt < 0:
+                return
+            pos = nxt
+        he = raw.find(_CRLF2, pos)
+        if he < 0:
+            return
+        head = raw[pos:he].decode("utf-8", "replace").split("\r\n")
+        hdrs = {}
+        for line in head[1:]:
+            k, _, v = line.partition(":")
+            hdrs[k.strip().lower()] = v.strip()
+        try:
+            clen = int(hdrs.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        end = min(n, he + 4 + clen + 4)  # body + record separator
+        yield pos, end - pos, raw[pos:end]
+        pos = end
+
+
+def _parse_record(rec: bytes) -> tuple[dict, bytes]:
+    he = rec.find(_CRLF2)
+    if he < 0:
+        return {}, b""
+    head = rec[:he].decode("utf-8", "replace").split("\r\n")
+    hdrs = {}
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        hdrs[k.strip().lower()] = v.strip()
+    try:
+        clen = int(hdrs.get("content-length", "0"))
+    except ValueError:
+        clen = 0
+    return hdrs, rec[he + 4:he + 4 + clen]
+
+
+_CHARSET_RE = re.compile(r"charset=([\w.\-]+)", re.I)
+
+
+def _parse_http(body: bytes) -> tuple[int | None, str | None, str | None, bytes]:
+    """(status, content_type, charset, payload) from an HTTP response
+    block; a body with no header block is returned as the payload."""
+    i = body.find(_CRLF2)
+    if i < 0 or not body.startswith(b"HTTP/"):
+        return None, None, None, body
+    head = body[:i].decode("latin-1", "replace").split("\r\n")
+    status = None
+    parts = head[0].split()
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    ctype = None
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+            break
+    charset = None
+    if ctype:
+        m = _CHARSET_RE.search(ctype)
+        if m:
+            charset = m.group(1).lower()
+    return status, ctype, charset, body[i + 4:]
+
+
+def _parse_segment(path: str, data: bytes) -> Iterator[tuple]:
+    for m_off, m_len, raw in _iter_members(data):
+        gz = data[:2] == b"\x1f\x8b"
+        for r_off, r_len, rec in _split_records(raw):
+            hdrs, body = _parse_record(rec)
+            rtype = hdrs.get("warc-type")
+            url = hdrs.get("warc-target-uri")
+            date = hdrs.get("warc-date")
+            digest = hdrs.get("warc-payload-digest")
+            if rtype == "response":
+                status, ctype, charset, payload = _parse_http(body)
+            else:
+                status, ctype, charset, payload = None, None, None, body
+            if digest is None and payload:
+                digest = payload_digest(payload)
+            # random-access coords: for gz segments the member IS the
+            # record (CC layout) -> (member offset, member length);
+            # plain segments -> byte coords inside the file.
+            off = m_off if gz else r_off
+            ln = m_len if gz else r_len
+            yield (
+                path, off, ln, rtype, url, date, status, ctype, charset,
+                payload, digest,
+            )
+
+
+def read_warc(
+    spark: SparkSession, path: str, record_types: tuple[str, ...] = ("response",)
+) -> DataFrame:
+    """Distributed WARC reader: ``binaryFile`` segment scan ->
+    Arrow-batched per-segment parse. Filter-by-type happens inside the
+    parser (rows never materialize), and the payload column stays
+    binary so Catalyst prunes it for metadata-only queries downstream
+    (CDX build reads headers only after this materialization point).
+    """
+    import pandas as pd
+
+    types = set(record_types) if record_types else None
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for row in _parse_segment(path_, bytes(content)):
+                    if types is None or row[3] in types:
+                        rows.append(row)
+            out = pd.DataFrame(rows, columns=cols)
+            if len(out):
+                out["warc_ts"] = pd.to_datetime(
+                    out["warc_ts"], utc=True, errors="coerce", format="ISO8601"
+                ).dt.tz_localize(None)
+            else:
+                out["warc_ts"] = pd.Series([], dtype="datetime64[ns]")
+            yield out
+
+    seg = spark.read.format("binaryFile").load(path).select("path", "content")
+    return seg.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def read_warc_record(path: str, offset: int, length: int) -> dict:
+    """Single-record random access from a CDX pointer — open, seek,
+    read ``length`` bytes, decompress-if-member, parse. Plain Python
+    (driver or worker side): this is the selective re-fetch path, not
+    a DataFrame op."""
+    with open(path.removeprefix("file:"), "rb") as fh:
+        fh.seek(offset)
+        blob = fh.read(length)
+    if blob[:2] == b"\x1f\x8b":
+        blob = gzip.decompress(blob)
+    hdrs, body = _parse_record(blob)
+    status, ctype, charset, payload = (
+        _parse_http(body) if hdrs.get("warc-type") == "response"
+        else (None, None, None, body)
+    )
+    return {
+        "record_type": hdrs.get("warc-type"),
+        "url": hdrs.get("warc-target-uri"),
+        "warc_date": hdrs.get("warc-date"),
+        "http_status": status,
+        "content_type": ctype,
+        "charset": charset,
+        "payload": payload,
+        "payload_digest": hdrs.get("warc-payload-digest") or payload_digest(payload),
+    }
+
+
+# ----------------------------------------------------------- projections
+
+
+def _surt_key(url: Column) -> Column:
+    """SURT-style url key (the CDX sort key): scheme and leading www.
+    stripped, host reversed comma-joined, ``)`` + lowercased
+    path-and-query. Pure string exprs — no UDF."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    host = F.regexp_extract(u, r"^([^/]*)", 1)
+    rest = F.regexp_replace(u, r"^[^/]*", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), rest)
+
+
+def cdx_index(warc: DataFrame) -> DataFrame:
+    """CDX-style index rows from ``read_warc`` output: one row per
+    record with its exact random-access coordinates. Narrow projection
+    — at segment scale this is the classic scan->project->write job;
+    sorting by ``urlkey`` for the final index is the single shuffle a
+    real CDX build pays (left to the caller's writer)."""
+    return warc.select(
+        _surt_key(F.col("url")).alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("timestamp"),
+        F.col("url"),
+        F.coalesce(
+            F.regexp_extract("content_type", r"^([^;]+)", 1), F.lit("unk")
+        ).alias("mime"),
+        F.col("http_status").alias("status"),
+        F.col("payload_digest").alias("digest"),
+        F.col("record_length").alias("length"),
+        F.col("record_offset").alias("offset"),
+        F.col("warc_file").alias("filename"),
+    )
+
+
+def warc_to_pages(warc: DataFrame) -> DataFrame:
+    """Adapt response records onto the pages(url, warc_ts, html, text,
+    lang) ingestion contract: text/plain payloads decode into ``text``
+    (the pre-extracted leg), everything else stays binary ``html`` for
+    the extraction router's own sniffing (PDF magic, HTML tags)."""
+    is_text = F.col("content_type").startswith("text/plain")
+    # decode with the declared charset when it is latin-1; the default
+    # leg is a binary->string cast (UTF-8 reinterpret), which unlike
+    # F.decode(..., 'UTF-8') cannot raise MALFORMED_CHARACTER_CODING on
+    # garbage bytes under the driver's ANSI-on session.
+    decoded = F.when(
+        F.col("charset") == "latin-1", F.decode("payload", "ISO-8859-1")
+    ).otherwise(F.col("payload").cast("string"))
+    # a zero-byte payload carries nothing to extract: map it to NULL on
+    # both legs so it routes to the quarantine leg exactly like a page
+    # row with neither html nor text (the S1 parse-failure analog).
+    nonempty = F.length("payload") > 0
+    return warc.where(F.col("record_type") == "response").select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.when(~is_text & nonempty, F.col("payload")).alias("html"),
+        F.when(is_text & nonempty, decoded).alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
