@@ -86,8 +86,20 @@ def get_spark(
     # pinning executors to the driver size would exceed executor -Xmx
     # on a real cluster and kill every executor at launch. An explicit
     # extraJavaOptions in extra_conf wins.
+    # -XX:NewRatio=1: with adaptive sizing off, ParallelGC's static
+    # default (NewRatio=2) gives the young gen only 1/3 of the heap,
+    # and the details-parity expression layer allocates almost entirely
+    # short-lived rows — measured on the 100k-doc pipeline (min-of-5,
+    # quiet box): warm wall 32.2s -> 22.7-25.2s and per-pass GC
+    # 250-600 -> 75-113 core-s just from giving the young gen half the
+    # heap. Fixed -Xmn24g/-Xmn28g cut GC further in single passes but
+    # did not beat the walls and leave the old gen too small for the
+    # resident broadcast/task state — rejected.
     def _gc_opts(mem: str) -> str:
-        return f"-XX:+UseParallelGC -Xms{mem} -XX:-UseAdaptiveSizePolicy"
+        return (
+            f"-XX:+UseParallelGC -Xms{mem} -XX:-UseAdaptiveSizePolicy"
+            " -XX:NewRatio=1"
+        )
 
     conf.setdefault(
         "spark.driver.extraJavaOptions",
@@ -98,7 +110,7 @@ def get_spark(
     # (spark-defaults.conf / spark-submit), and guessing would set
     # -Xms above a smaller cluster-side -Xmx and kill every executor
     exec_mem = conf.get("spark.executor.memory")
-    exec_opts = "-XX:+UseParallelGC -XX:-UseAdaptiveSizePolicy"
+    exec_opts = "-XX:+UseParallelGC -XX:-UseAdaptiveSizePolicy -XX:NewRatio=1"
     if exec_mem:
         exec_opts += f" -Xms{exec_mem}"
     conf.setdefault("spark.executor.extraJavaOptions", exec_opts)

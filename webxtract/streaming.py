@@ -345,3 +345,82 @@ def start_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-source stream of WARC segment drops: binaryFile streaming
+    source -> the same Arrow-batched member/record parser the batch
+    reader uses (`webxtract.warc.read_warc`). New crawl segments landing
+    in ``input_path`` are picked up per microbatch; segment files are
+    the parallelism AND progress-tracking unit (file-source offsets in
+    the checkpoint record which segments are committed — exactly the
+    crawl-ingest contract: a segment is either fully extracted and
+    committed or replayed whole)."""
+    from webxtract import warc as W
+
+    seg = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc*")
+        .load(input_path)
+        .select("path", "content")
+    )
+    # reuse the batch parser's closure via mapInPandas on the stream —
+    # stateless narrow transform, so it lifts unchanged
+    def parse(batches):
+        cols = [f.name for f in W.WARC_SCHEMA.fields]
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for row in W._parse_segment(path_, bytes(content)):
+                    if row[3] == "response":
+                        rows.append(row)
+            out = pd.DataFrame(rows, columns=cols)
+            if len(out):
+                out["warc_ts"] = pd.to_datetime(
+                    out["warc_ts"], utc=True, errors="coerce", format="ISO8601"
+                ).dt.tz_localize(None)
+            else:
+                out["warc_ts"] = pd.Series([], dtype="datetime64[ns]")
+            yield out
+
+    return seg.mapInPandas(parse, schema=W.WARC_SCHEMA)
+
+
+def start_warc_extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """WARC segments -> pages contract -> extraction -> append parquet
+    sink. The incremental crawl-ingest path: each AvailableNow run
+    extracts exactly the segments that landed since the last committed
+    checkpoint (the Iceberg-incremental-read analog for raw crawl
+    data), idempotently under replay."""
+    from webxtract import warc as W
+    from webxtract.ops.extract import extract_pages
+
+    pages = W.warc_to_pages(read_warc_stream(spark, input_path))
+    extracted = extract_pages(pages)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
