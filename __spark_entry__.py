@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": wrap(c.q_dedup_paragraphs),
         "top_tokens": wrap(c.q_top_tokens),
         "dedup_incremental": wrap(c.q_dedup_incremental),
+        "chunk_dups": wrap(c.q_chunk_dups),
+        "chunk_dedup": wrap(c.q_chunk_dedup),
         "temperature_mix": wrap(c.q_temperature_mix),
         "chunk_tokens": wrap(c.q_chunk_tokens),
         # similarity search

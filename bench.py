@@ -163,6 +163,8 @@ def main() -> None:
         ("dedup_paragraphs", contract.q_dedup_paragraphs),
         ("top_tokens", contract.q_top_tokens),
         ("dedup_incremental", contract.q_dedup_incremental),
+        ("chunk_dups", contract.q_chunk_dups),
+        ("chunk_dedup", contract.q_chunk_dedup),
         ("temperature_mix", contract.q_temperature_mix),
         ("chunk_tokens", contract.q_chunk_tokens),
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),

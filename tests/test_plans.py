@@ -269,3 +269,25 @@ def test_chunk_tokens_is_narrow(spark):
     assert "Join" not in plan
     assert _nodes(plan, "Exchange") == 1  # output sort only
     assert _nodes(plan, "Generate") == 1
+
+
+def test_chunk_dedup_plan_text_never_shuffles(spark):
+    """Substring dedup rewrite: the meta branch shuffles only
+    (id, idx, hash) rows (window on chunk_hash + drop-list groupBy);
+    the document TEXT is joined back by a broadcast-eligible join and
+    rewritten exchange-free — never sort-merge-joined, never shuffled."""
+    from webxtract.dedup import dedup_chunks
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{TESTDATA}/documents.parquet").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    plan = _plan(dedup_chunks(d, boundary_mod=8, min_dup_tokens=4))
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    # window shuffle + drop-list groupBy shuffle + the broadcast: no
+    # exchange ever carries the text column
+    assert _nodes(plan, "Exchange") <= 3
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line and "chunk" not in line.split("hashpartitioning")[0]

@@ -934,3 +934,31 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mime",
         F.col("status").cast("int").alias("status"),
     ).orderBy("urlkey")
+
+
+# ------------------------------------------------ substring-level dedup
+
+
+def q_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage candidates over the documents table:
+    content-defined chunks (boundary after tokens with hash60%8==0)
+    of >=4 tokens occurring more than once corpus-wide."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    return dedup.duplicate_chunks(
+        d, boundary_mod=8, min_dup_tokens=4
+    ).orderBy("chunk_hash")
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup rewrite: repeated passages keep their
+    first occurrence (global (doc_id, chunk_idx) order) and are removed
+    everywhere else; the oracle reproduces chunking, ranking and
+    reassembly with window functions."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    return dedup.dedup_chunks(
+        d, boundary_mod=8, min_dup_tokens=4
+    ).orderBy("id")

@@ -493,3 +493,181 @@ def ngram_jaccard_pairs(
     return joined.select(
         "a", "b", F.round(inter / union.cast("double"), 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------- substring-level dedup
+
+
+def chunk_spans_expr(text: Column, boundary_mod: int = 16) -> Column:
+    """Content-defined chunking of whitespace tokens:
+    ``array<struct<idx:int, n_tok:int, chunk:string>>``.
+
+    A chunk boundary falls AFTER token *i* whenever
+    ``stable_hash60(token_i) % boundary_mod == 0`` — boundaries depend
+    only on local content, never on position, so a passage duplicated
+    across documents (or at a different offset in the same document)
+    produces byte-identical interior chunks. This is the
+    position-independence trick that lets substring-level dedup (the
+    "train-data repeated-passage" problem, Lee et al. 2022's suffix-
+    array dedup) run as a hash-groupBy instead of a suffix array:
+    fixed-stride windows would misalign across documents, content-
+    defined boundaries cannot. Expected chunk length ~= boundary_mod
+    tokens; edge chunks of a shared passage differ (documented recall
+    loss vs exact maximal-repeat detection).
+
+    Pure expression layer: tokens bound once per row, one md5 per
+    token, no UDF, no shuffle.
+    """
+    from webxtract.exprs import bind_once
+    from webxtract.textops import tokens_expr
+
+    def hash60(s: Column) -> Column:
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        bidx = F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: hash60(F.element_at(toks, i)) % boundary_mod == 0,
+        )
+        starts = F.concat(
+            F.array(F.lit(1)), F.transform(bidx, lambda b: b + 1)
+        )
+        ends = F.concat(bidx, F.array(n))
+        return F.transform(
+            F.sequence(F.lit(1), F.size(starts)),
+            lambda j: F.struct(
+                j.cast("int").alias("idx"),
+                (
+                    F.element_at(ends, j) - F.element_at(starts, j) + 1
+                ).cast("int").alias("n_tok"),
+                F.array_join(
+                    F.slice(
+                        toks,
+                        F.element_at(starts, j),
+                        F.element_at(ends, j) - F.element_at(starts, j) + 1,
+                    ),
+                    " ",
+                ).alias("chunk"),
+            ),
+        )
+
+    empty = F.array().cast(
+        "array<struct<idx:int,n_tok:int,chunk:string>>"
+    )
+    return F.when(
+        F.coalesce(F.trim(text), F.lit("")) == "", empty
+    ).otherwise(bind_once(tokens_expr(text), build))
+
+
+def duplicate_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_dup_tokens: int = 8,
+) -> DataFrame:
+    """Duplicated-passage candidates: (chunk_hash, n_tok, n_occurrences,
+    n_docs) for every content-defined chunk of >= ``min_dup_tokens``
+    tokens that occurs more than once corpus-wide. The short-chunk
+    floor keeps trivial fragments ("the end") out of the dup set.
+
+    Scale: one explode to (id, idx, n_tok, hash) — the chunk TEXT never
+    leaves its partition; the only shuffle carries the 60-bit hash plus
+    two ints, with map-side partial aggregation. No pair join anywhere,
+    so a million-fold-duplicated boilerplate chunk costs one group, not
+    a quadratic bucket."""
+    ch = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(chunk_spans_expr(F.col(text_col), boundary_mod)).alias("c"),
+    ).select(
+        "id",
+        F.col("c.idx").alias("idx"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.conv(F.substring(F.md5(F.col("c.chunk")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("chunk_hash"),
+    )
+    return (
+        ch.filter(F.col("n_tok") >= min_dup_tokens)
+        .groupBy("chunk_hash")
+        .agg(
+            F.first("n_tok").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
+def dedup_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_dup_tokens: int = 8,
+) -> DataFrame:
+    """Substring-level dedup rewrite: every repeated passage keeps its
+    FIRST occurrence (global (id, idx) order) and is dropped everywhere
+    else; chunks under ``min_dup_tokens`` tokens are never dropped.
+    Returns (id, clean_text, n_chunks, n_dropped).
+
+    Plan shape (the 100-TB profile, same discipline as
+    remove_boilerplate): two scans of ``docs``. Scan 1 derives
+    (id, idx, hash) meta only — full text never shuffles — and a
+    window over chunk_hash ranks occurrences; rows ranked >1 become the
+    per-document drop lists (tiny: only documents that lose a chunk).
+    Scan 2 joins the drop lists back by id (broadcast-eligible,
+    unforced — AQE degrades to shuffle join instead of OOM when the
+    corpus is pathologically duplicated) and rebuilds the text with a
+    pure HOF filter over the same deterministic chunking. The rewrite
+    itself is exchange-free."""
+    from pyspark.sql.window import Window
+
+    ch = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(chunk_spans_expr(F.col(text_col), boundary_mod)).alias("c"),
+    ).select(
+        "id",
+        F.col("c.idx").alias("idx"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.conv(F.substring(F.md5(F.col("c.chunk")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("chunk_hash"),
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("id", "idx")
+    drops = (
+        ch.filter(F.col("n_tok") >= min_dup_tokens)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy("id")
+        .agg(F.collect_list("idx").alias("drop_idx"))
+    )
+    spans = chunk_spans_expr(F.col(text_col), boundary_mod)
+    rebuilt = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col))
+        .join(drops, "id", "left")
+        .select(
+            "id",
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        spans,
+                        lambda c: ~F.array_contains(
+                            F.coalesce(
+                                F.col("drop_idx"), F.array().cast("array<int>")
+                            ),
+                            c["idx"],
+                        ),
+                    ),
+                    lambda c: c["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.size(spans).alias("n_chunks"),
+            F.size(
+                F.coalesce(F.col("drop_idx"), F.array().cast("array<int>"))
+            ).alias("n_dropped"),
+        )
+    )
+    return rebuilt

@@ -1176,3 +1176,79 @@ FROM (
 )
 ORDER BY urlkey
 """
+
+
+# Shared CTE chain for the content-defined chunking twin queries
+# (contract.q_chunk_dups / q_chunk_dedup): whitespace tokens with
+# positions -> boundary AFTER tokens whose 60-bit md5 hash % 8 == 0 ->
+# chunk ids via a 1-preceding cumulative boundary sum -> chunk strings.
+_CHUNKS_CTE = """
+WITH d AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(t, '\\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(t, '\\s+'), 1) AS pos
+  FROM d
+),
+flagged AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, w, pos,
+         1 + COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, cid, COUNT(*) AS n_tok,
+         string_agg(w, ' ' ORDER BY pos) AS chunk
+  FROM chunked GROUP BY doc_id, cid
+),
+hashed AS (
+  SELECT doc_id, cid, n_tok, chunk,
+         ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash
+  FROM chunks
+)
+"""
+
+ORACLES["chunk_dups"] = _CHUNKS_CTE + """
+SELECT chunk_hash,
+       CAST(n_tok AS INTEGER)   AS n_tok,
+       COUNT(*)                 AS n_occurrences,
+       COUNT(DISTINCT doc_id)   AS n_docs
+FROM hashed
+WHERE n_tok >= 4
+GROUP BY chunk_hash, n_tok
+HAVING COUNT(*) >= 2
+ORDER BY chunk_hash
+"""
+
+ORACLES["chunk_dedup"] = _CHUNKS_CTE + """,
+ranked AS (
+  SELECT doc_id, cid, n_tok, chunk,
+         ROW_NUMBER() OVER (
+           PARTITION BY chunk_hash ORDER BY doc_id, cid) AS rn
+  FROM hashed
+),
+decided AS (
+  SELECT doc_id, cid, chunk,
+         (n_tok < 4 OR rn = 1) AS keep
+  FROM ranked
+)
+SELECT doc_id AS id,
+       COALESCE(
+         string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY cid),
+         '')                                   AS clean_text,
+       CAST(COUNT(*) AS INTEGER)               AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE NOT keep) AS INTEGER) AS n_dropped
+FROM decided
+GROUP BY doc_id
+ORDER BY id
+"""
