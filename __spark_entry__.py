@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "quality_signals": wrap(c.q_quality_signals),
         "lang_id": wrap(c.q_lang_id),
+        "script_signals": wrap(c.q_script_signals),
         "fingerprint": wrap(c.q_fingerprint),
         # dedup
         "exact_dedup": wrap(c.q_exact_dedup),

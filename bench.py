@@ -143,6 +143,7 @@ def main() -> None:
         ("exact_dedup", contract.q_exact_dedup),
         ("quality_signals", contract.q_quality_signals),
         ("lang_id", contract.q_lang_id),
+        ("script_signals", contract.q_script_signals),
         ("fingerprint", contract.q_fingerprint),
         ("cosine_topk", contract.q_cosine_topk),
         ("minhash_lsh_pairs", contract.q_minhash_lsh_pairs),

@@ -962,3 +962,13 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_chunks(
         d, boundary_mod=8, min_dup_tokens=4
     ).orderBy("id")
+
+
+def q_script_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile per document: per-script character
+    fractions + dominant script (first-wins ties in SCRIPTS order)."""
+    d = _t(spark, sf_dir, "documents")
+    sig = textops.script_signals_exprs(F.col("text"))
+    return d.select(
+        "doc_id", *[sig[k].alias(k) for k in sorted(sig)]
+    ).orderBy("doc_id")

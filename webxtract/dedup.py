@@ -525,30 +525,46 @@ def chunk_spans_expr(text: Column, boundary_mod: int = 16) -> Column:
         return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
     def build(toks: Column) -> Column:
+        # bind_once at every level: HOF expressions are interpreted
+        # (CodegenFallback, no CSE), so a subtree referenced inside a
+        # lambda re-evaluates at EVERY reference site. Without the
+        # inner binding, each element_at(starts/ends, j) re-ran the
+        # full per-token md5 boundary filter — O(chunks x tokens)
+        # hashes per document (measured 64.9s for the rewrite query at
+        # sf0.1; the round-3 shingle lesson verbatim).
         n = F.size(toks)
         bidx = F.filter(
             F.sequence(F.lit(1), n - 1),
             lambda i: hash60(F.element_at(toks, i)) % boundary_mod == 0,
         )
-        starts = F.concat(
-            F.array(F.lit(1)), F.transform(bidx, lambda b: b + 1)
+        bounds = F.struct(
+            F.concat(F.array(F.lit(1)), F.transform(bidx, lambda b: b + 1)).alias(
+                "s"
+            ),
+            F.concat(bidx, F.array(n)).alias("e"),
         )
-        ends = F.concat(bidx, F.array(n))
-        return F.transform(
-            F.sequence(F.lit(1), F.size(starts)),
-            lambda j: F.struct(
-                j.cast("int").alias("idx"),
-                (
-                    F.element_at(ends, j) - F.element_at(starts, j) + 1
-                ).cast("int").alias("n_tok"),
-                F.array_join(
-                    F.slice(
-                        toks,
-                        F.element_at(starts, j),
-                        F.element_at(ends, j) - F.element_at(starts, j) + 1,
-                    ),
-                    " ",
-                ).alias("chunk"),
+        from webxtract.exprs import bind_once as _bind
+
+        return _bind(
+            bounds,
+            lambda se: F.transform(
+                F.sequence(F.lit(1), F.size(se["s"])),
+                lambda j: F.struct(
+                    j.cast("int").alias("idx"),
+                    (
+                        F.element_at(se["e"], j) - F.element_at(se["s"], j) + 1
+                    ).cast("int").alias("n_tok"),
+                    F.array_join(
+                        F.slice(
+                            toks,
+                            F.element_at(se["s"], j),
+                            F.element_at(se["e"], j)
+                            - F.element_at(se["s"], j)
+                            + 1,
+                        ),
+                        " ",
+                    ).alias("chunk"),
+                ),
             ),
         )
 
@@ -643,31 +659,41 @@ def dedup_chunks(
         .groupBy("id")
         .agg(F.collect_list("idx").alias("drop_idx"))
     )
+    from webxtract.exprs import bind_once
+
     spans = chunk_spans_expr(F.col(text_col), boundary_mod)
-    rebuilt = (
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col))
-        .join(drops, "id", "left")
-        .select(
-            "id",
+    dropset = F.coalesce(F.col("drop_idx"), F.array().cast("array<int>"))
+
+    def rebuild(sp: Column) -> Column:
+        # spans bound once: the interpreted rewrite references it for
+        # both the filtered reassembly and the chunk count
+        return F.struct(
             F.array_join(
                 F.transform(
                     F.filter(
-                        spans,
-                        lambda c: ~F.array_contains(
-                            F.coalesce(
-                                F.col("drop_idx"), F.array().cast("array<int>")
-                            ),
-                            c["idx"],
-                        ),
+                        sp,
+                        lambda c: ~F.array_contains(dropset, c["idx"]),
                     ),
                     lambda c: c["chunk"],
                 ),
                 " ",
             ).alias("clean_text"),
-            F.size(spans).alias("n_chunks"),
-            F.size(
-                F.coalesce(F.col("drop_idx"), F.array().cast("array<int>"))
-            ).alias("n_dropped"),
+            F.size(sp).alias("n_chunks"),
+        )
+
+    rebuilt = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col))
+        .join(drops, "id", "left")
+        .select(
+            "id",
+            bind_once(spans, rebuild).alias("o"),
+            F.size(dropset).alias("n_dropped"),
+        )
+        .select(
+            "id",
+            F.col("o.clean_text").alias("clean_text"),
+            F.col("o.n_chunks").alias("n_chunks"),
+            "n_dropped",
         )
     )
     return rebuilt

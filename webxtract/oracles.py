@@ -1252,3 +1252,42 @@ FROM decided
 GROUP BY doc_id
 ORDER BY id
 """
+
+
+# contract.q_script_signals twin. Java spells the script property
+# \p{IsLatin}; RE2 spells it \p{Latin} — same Unicode script data.
+# Dominant = first script (SCRIPTS order) whose count equals the max.
+ORACLES["script_signals"] = """
+WITH c AS (
+  SELECT doc_id,
+         length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) AS base,
+         length(regexp_replace(coalesce(text,''), '[^\\p{Latin}]', '', 'g')) AS c_latin,
+         length(regexp_replace(coalesce(text,''), '[^\\p{Cyrillic}]', '', 'g')) AS c_cyrillic,
+         length(regexp_replace(coalesce(text,''), '[^\\p{Han}]', '', 'g')) AS c_han,
+         length(regexp_replace(coalesce(text,''), '[^\\p{Arabic}]', '', 'g')) AS c_arabic,
+         length(regexp_replace(coalesce(text,''), '[^\\p{Hangul}]', '', 'g')) AS c_hangul,
+         length(regexp_replace(coalesce(text,''), '[^\\p{Devanagari}]', '', 'g')) AS c_devanagari
+  FROM documents
+),
+m AS (
+  SELECT *, greatest(c_latin, c_cyrillic, c_han, c_arabic, c_hangul,
+                     c_devanagari) AS mx
+  FROM c
+)
+SELECT doc_id,
+       CASE WHEN mx = 0 THEN 'other'
+            WHEN c_latin      = mx THEN 'latin'
+            WHEN c_cyrillic   = mx THEN 'cyrillic'
+            WHEN c_han        = mx THEN 'han'
+            WHEN c_arabic     = mx THEN 'arabic'
+            WHEN c_hangul     = mx THEN 'hangul'
+            ELSE 'devanagari' END                               AS dominant_script,
+       round(CASE WHEN base > 0 THEN c_arabic     / base::DOUBLE ELSE 0 END, 6) AS frac_arabic,
+       round(CASE WHEN base > 0 THEN c_cyrillic   / base::DOUBLE ELSE 0 END, 6) AS frac_cyrillic,
+       round(CASE WHEN base > 0 THEN c_devanagari / base::DOUBLE ELSE 0 END, 6) AS frac_devanagari,
+       round(CASE WHEN base > 0 THEN c_han        / base::DOUBLE ELSE 0 END, 6) AS frac_han,
+       round(CASE WHEN base > 0 THEN c_hangul     / base::DOUBLE ELSE 0 END, 6) AS frac_hangul,
+       round(CASE WHEN base > 0 THEN c_latin      / base::DOUBLE ELSE 0 END, 6) AS frac_latin
+FROM m
+ORDER BY doc_id
+"""

@@ -427,3 +427,49 @@ def word_shingles_expr(text: Column, k: int = 2) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
+
+
+# Unicode scripts probed by script_signals_exprs: (column suffix,
+# Java regex class, script label). Java names the property IsLatin /
+# IsCyrillic / ...; DuckDB's RE2 twin uses \p{Latin} etc. — both read
+# the same Unicode script data, so membership agrees.
+SCRIPTS = [
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("han", r"\p{IsHan}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("hangul", r"\p{IsHangul}"),
+    ("devanagari", r"\p{IsDevanagari}"),
+]
+
+
+def script_signals_exprs(text: Column) -> dict[str, Column]:
+    """Per-document Unicode-script profile: per-script character
+    fractions (of non-space characters) plus the dominant script with
+    a deterministic first-wins tie-break in SCRIPTS order, 'other'
+    when no probed script occurs. Pure JVM-side regexp_replace/length
+    arithmetic — zero shuffles, zero UDFs — the cheap router that
+    decides which downstream language/quality stack a crawl document
+    enters before any model-based language ID runs."""
+    t = F.coalesce(text, F.lit(""))
+    base = F.length(F.regexp_replace(t, r"\s", ""))
+    counts = {
+        name: F.length(F.regexp_replace(t, f"[^{cls}]", ""))
+        for name, cls in SCRIPTS
+    }
+    out: dict[str, Column] = {}
+    for name in counts:
+        out[f"frac_{name}"] = F.round(
+            F.when(base > 0, counts[name] / base.cast("double")).otherwise(0.0), 6
+        )
+    dominant = F.lit("other")
+    best = F.lit(0)
+    # first-wins strict > : iterate REVERSED so earlier scripts win ties
+    for name, _ in reversed(SCRIPTS):
+        cond = counts[name] > 0
+        dominant = F.when(
+            cond & (counts[name] >= best), F.lit(name)
+        ).otherwise(dominant)
+        best = F.when(cond & (counts[name] >= best), counts[name]).otherwise(best)
+    out["dominant_script"] = dominant
+    return out
