@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": wrap(c.q_dedup_paragraphs),
         "top_tokens": wrap(c.q_top_tokens),
         "dedup_incremental": wrap(c.q_dedup_incremental),
+        "unigram_surprisal": wrap(c.q_unigram_surprisal),
         "chunk_dups": wrap(c.q_chunk_dups),
         "chunk_dedup": wrap(c.q_chunk_dedup),
         "temperature_mix": wrap(c.q_temperature_mix),

@@ -164,6 +164,7 @@ def main() -> None:
         ("dedup_paragraphs", contract.q_dedup_paragraphs),
         ("top_tokens", contract.q_top_tokens),
         ("dedup_incremental", contract.q_dedup_incremental),
+        ("unigram_surprisal", contract.q_unigram_surprisal),
         ("chunk_dups", contract.q_chunk_dups),
         ("chunk_dedup", contract.q_chunk_dedup),
         ("temperature_mix", contract.q_temperature_mix),

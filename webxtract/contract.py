@@ -972,3 +972,13 @@ def q_script_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", *[sig[k].alias(k) for k in sorted(sig)]
     ).orderBy("doc_id")
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document vs the corpus top-1000
+    vocabulary (OOV smoothed to 0.5) — the deterministic stand-in for
+    model-based perplexity filtering."""
+    from webxtract.curation import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_surprisal(d, vocab_k=1000).orderBy("id")

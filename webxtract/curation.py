@@ -694,3 +694,53 @@ def chunk_tokens(
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    vocab_k: int = 1000,
+    oov_count: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Statistical language-model quality proxy (the KenLM-filter
+    analog, deterministic): per-document mean unigram surprisal
+    ``avg(-ln(c_w / T))`` against the corpus' own top-``vocab_k``
+    vocabulary, out-of-vocabulary tokens smoothed to ``oov_count``.
+    Natural text scores near the corpus entropy; keyboard mash and
+    boilerplate-free gibberish (all-OOV) scores ~ln(T / oov_count), so
+    a single threshold separates them — the cheap stand-in for the
+    model-based perplexity filters of CCNet/DCLM-style pipelines.
+    Returns (id, n_tokens, surprisal).
+
+    Scale shape: two passes over the tokens. Pass 1 counts tokens —
+    the explode is narrow and the count partially aggregates map-side,
+    so the exchange carries ~vocab rows; the top-k head is a
+    TakeOrderedAndProject (count desc, token asc — deterministic at
+    the k boundary). Pass 2 re-explodes, broadcast-joins the k-row
+    vocabulary and the 1-row total (never a shuffle join), and the
+    per-document aggregation ships one partial row per document. The
+    document text itself never shuffles."""
+    from webxtract.textops import tokens_expr
+
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(text_col) != "")
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    tok = base.select("id", F.explode(tokens_expr(F.col("t"))).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tt"))
+    vocab = counts.orderBy(F.col("c").desc(), "w").limit(vocab_k)
+    scored = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            (-F.log(F.coalesce(F.col("c"), F.lit(oov_count)) / F.col("tt"))).alias(
+                "s"
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("s"), 6).alias("surprisal"),
+    )

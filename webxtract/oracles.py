@@ -1291,3 +1291,34 @@ SELECT doc_id,
 FROM m
 ORDER BY doc_id
 """
+
+
+# contract.q_unigram_surprisal twin: same tokenization, same top-1000
+# vocabulary (count desc, token asc at the boundary), same 0.5 OOV
+# smoothing; avg computed in float64 on both engines, rounded to 6.
+ORACLES["unigram_surprisal"] = """
+WITH d AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS w FROM d
+),
+counts AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+),
+total AS (
+  SELECT SUM(c)::DOUBLE AS tt FROM counts
+),
+vocab AS (
+  SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 1000
+)
+SELECT tok.doc_id AS id,
+       COUNT(*) AS n_tokens,
+       round(AVG(-ln(coalesce(v.c, 0.5) / t.tt)), 6) AS surprisal
+FROM tok
+LEFT JOIN vocab v USING (w)
+CROSS JOIN total t
+GROUP BY tok.doc_id
+ORDER BY id
+"""
