@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": wrap(c.q_top_tokens),
         "dedup_incremental": wrap(c.q_dedup_incremental),
         "unigram_surprisal": wrap(c.q_unigram_surprisal),
+        "crawl_diff": wrap(c.q_crawl_diff),
         "chunk_dups": wrap(c.q_chunk_dups),
         "chunk_dedup": wrap(c.q_chunk_dedup),
         "temperature_mix": wrap(c.q_temperature_mix),

@@ -165,6 +165,7 @@ def main() -> None:
         ("top_tokens", contract.q_top_tokens),
         ("dedup_incremental", contract.q_dedup_incremental),
         ("unigram_surprisal", contract.q_unigram_surprisal),
+        ("crawl_diff", contract.q_crawl_diff),
         ("chunk_dups", contract.q_chunk_dups),
         ("chunk_dedup", contract.q_chunk_dedup),
         ("temperature_mix", contract.q_temperature_mix),

@@ -982,3 +982,20 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_surprisal(d, vocab_k=1000).orderBy("id")
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl diff over two deterministic snapshots of the documents
+    table: old = doc_id % 5 != 0, new = doc_id % 7 != 0 with text
+    mutated where doc_id % 3 == 0 — every status class occurs."""
+    from webxtract.curation import crawl_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [recrawl]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return crawl_diff(old, new, id_col="doc_id").orderBy("id")

@@ -744,3 +744,33 @@ def unigram_surprisal(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("s"), 6).alias("surprisal"),
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl change detection between two crawl snapshots: per id,
+    ``added`` (new only), ``removed`` (old only), ``changed``
+    (fingerprint differs) or ``unchanged``. The downstream contract of
+    every incremental pipeline stage — re-extract/re-validate only
+    ``added``+``changed``, tombstone ``removed``.
+
+    Scale: both sides reduce to (id, md5) BEFORE the full-outer join,
+    so the shuffle carries two 16-byte-ish columns per row and the
+    document text never moves; at equal snapshot sizes this is the
+    minimal-width equi-join form of the diff."""
+    fp = lambda df, name: df.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(name),
+    )
+    j = fp(old, "old_fp").join(fp(new, "new_fp"), "id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("id", status.alias("status"))

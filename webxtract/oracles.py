@@ -1322,3 +1322,27 @@ CROSS JOIN total t
 GROUP BY tok.doc_id
 ORDER BY id
 """
+
+
+# contract.q_crawl_diff twin: same snapshot derivation, same md5
+# fingerprints, same status classification over the full outer join.
+ORACLES["crawl_diff"] = """
+WITH old AS (
+  SELECT doc_id AS id, md5(coalesce(text, '')) AS old_fp
+  FROM documents WHERE doc_id % 5 <> 0
+),
+new AS (
+  SELECT doc_id AS id,
+         md5(coalesce(
+           CASE WHEN doc_id % 3 = 0 THEN text || ' [recrawl]' ELSE text END,
+           '')) AS new_fp
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT COALESCE(old.id, new.id) AS id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.id = new.id
+ORDER BY id
+"""
