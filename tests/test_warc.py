@@ -238,3 +238,38 @@ def test_warc_extraction_stream_incremental(spark, warc_dir, tmp_path):
     a = {r.url: r.extracted_text for r in batch.collect()}
     b = {r.url: r.extracted_text for r in streamed.collect()}
     assert a == b  # streamed == batch, byte-identical per url
+
+
+def test_revisit_records_resolve(spark, tmp_path):
+    """Archival revisit records (identical-payload-digest profile)
+    parse with their refers-to pointer and resolve their payload from
+    the referred response; a dangling pointer stays unresolved."""
+    p1 = b"<html>original content one</html>"
+    d1 = W.payload_digest(p1)
+    recs = [
+        W.warc_response_record(
+            "http://a.example.com/", "2025-06-01T00:00:00Z", p1
+        ),
+        W.warc_revisit_record(
+            "http://a.example.com/", "2025-07-01T00:00:00Z",
+            "http://a.example.com/", "2025-06-01T00:00:00Z", d1,
+        ),
+        W.warc_revisit_record(
+            "http://gone.example.com/", "2025-07-01T00:00:00Z",
+            "http://gone.example.com/", "2025-01-01T00:00:00Z", "sha1:NOPE",
+        ),
+    ]
+    W.write_warc_gz(str(tmp_path / "seg.warc.gz"), iter(recs))
+    df = W.read_warc(spark, str(tmp_path), record_types=("response", "revisit"))
+    rows = {(r.record_type, r.url): r for r in df.collect()}
+    assert rows[("revisit", "http://a.example.com/")].refers_to_url == "http://a.example.com/"
+    assert rows[("revisit", "http://a.example.com/")].payload_digest == d1
+    out = {
+        (r.record_type, r.url): r
+        for r in W.resolve_revisits(df).collect()
+    }
+    assert bytes(out[("revisit", "http://a.example.com/")].payload) == p1
+    assert out[("revisit", "http://a.example.com/")].resolved is True
+    assert out[("response", "http://a.example.com/")].resolved is True
+    dangling = out[("revisit", "http://gone.example.com/")]
+    assert dangling.resolved is False and bytes(dangling.payload or b"") == b""
