@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": wrap(c.q_warc_roundtrip),
         "warc_cdx": wrap(c.q_warc_cdx),
         "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
+        "html_metadata": wrap(c.q_html_metadata),
         "extract_pdf_roundtrip": wrap(c.q_extract_pdf_roundtrip),
         "page_concat_e5": wrap(c.q_page_concat_e5),
         "pdf_page_explode": wrap(c.q_pdf_page_explode),

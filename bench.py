@@ -173,6 +173,7 @@ def main() -> None:
         ("ngram_jaccard_consecutive", contract.q_ngram_jaccard_consecutive),
         ("ann_lsh_topk", contract.q_ann_lsh_topk),
         ("embedding_near_dup", contract.q_embedding_near_dup),
+        ("html_metadata", contract.q_html_metadata),
         ("warc_roundtrip", contract.q_warc_roundtrip),
         ("warc_cdx", contract.q_warc_cdx),
         ("pdf_page_explode", contract.q_pdf_page_explode),

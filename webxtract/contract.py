@@ -999,3 +999,27 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return crawl_diff(old, new, id_col="doc_id").orderBy("id")
+
+
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction over deterministically constructed
+    HTML: every planted field (title, description, canonical, lang,
+    link count) must parse back exactly — the oracle emits the
+    planted values directly from the documents table."""
+    from webxtract.ops.extract_html import html_metadata_exprs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
+        did, F.lit(" - "), F.col("source"), F.lit("</title>"),
+        F.lit('<meta name="description" content="About '), F.col("source"),
+        F.lit('"><link rel="canonical" href="http://docs.example.com/'),
+        did, F.lit('"></head><body>'),
+        F.repeat(F.lit('<a href="/l">x</a> '), (F.col("doc_id") % 5 + 1).cast("int")),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    m = html_metadata_exprs(F.encode(html, "utf-8"))
+    return d.select(
+        "doc_id", *[m[k].alias(k) for k in sorted(m)]
+    ).orderBy("doc_id")

@@ -169,3 +169,26 @@ def extract_html(
         )
     extracted = "\n\n".join(t for t, _ in kept)
     return extracted, spans, False
+
+
+def html_metadata_exprs(html):  # noqa: ANN001, ANN201
+    """Head-metadata extraction as pure JVM-side expressions: title,
+    meta description, canonical link, html lang attribute, anchor
+    count. The structured-metadata sidecar every crawl pipeline wants
+    next to main-content text (dedup keys, canonical-url clustering,
+    link-density priors) — no UDF, no shuffle, scales as a projection.
+    NULL/garbage html degrades to empty strings, never an error."""
+    from pyspark.sql import functions as F
+
+    s = F.coalesce(html.cast("string"), F.lit(""))
+    return {
+        "title": F.regexp_extract(s, r"<title>([^<]*)</title>", 1),
+        "meta_description": F.regexp_extract(
+            s, r'<meta name="description" content="([^"]*)"', 1
+        ),
+        "canonical_url": F.regexp_extract(
+            s, r'<link rel="canonical" href="([^"]*)"', 1
+        ),
+        "html_lang": F.regexp_extract(s, r'<html[^>]*\blang="([^"]*)"', 1),
+        "n_links": F.regexp_count(s, F.lit("<a ")).cast("int"),
+    }

@@ -1346,3 +1346,18 @@ SELECT COALESCE(old.id, new.id) AS id,
 FROM old FULL OUTER JOIN new ON old.id = new.id
 ORDER BY id
 """
+
+
+# contract.q_html_metadata twin: the HTML is constructed from the row,
+# so the parsed-back metadata equals the planted values directly.
+ORACLES["html_metadata"] = """
+SELECT doc_id,
+       'http://docs.example.com/' || CAST(doc_id AS VARCHAR) AS canonical_url,
+       lang                                                  AS html_lang,
+       'About ' || source                                    AS meta_description,
+       CAST(doc_id % 5 + 1 AS INTEGER)                       AS n_links,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source  AS title
+FROM documents
+WHERE text IS NOT NULL
+ORDER BY doc_id
+"""
