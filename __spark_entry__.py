@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": wrap(c.q_chunk_dedup),
         "temperature_mix": wrap(c.q_temperature_mix),
         "chunk_tokens": wrap(c.q_chunk_tokens),
+        # link graph
+        "outlinks": wrap(c.q_outlinks),
+        "host_graph": wrap(c.q_host_graph),
+        "pagerank": wrap(c.q_pagerank),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

@@ -183,6 +183,9 @@ def main() -> None:
         ("bpe_token_count", contract.q_bpe_token_count),
         ("windowed_event_counts", contract.q_windowed_event_counts),
         ("ann_multiprobe_topk", contract.q_ann_multiprobe_topk),
+        ("outlinks", contract.q_outlinks),
+        ("host_graph", contract.q_host_graph),
+        ("pagerank", contract.q_pagerank),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

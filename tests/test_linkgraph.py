@@ -1,0 +1,138 @@
+"""Link-graph operators: URL resolution branches, PageRank against a
+pure-Python reference implementation, invariants (mass conservation,
+dangling handling), and plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webxtract.linkgraph import host_graph, outlinks, pagerank
+
+BASE = "https://www.site.example/a/b/page.html"
+
+RESOLVE_CASES = [
+    # (raw link, expected resolved or None=dropped)
+    ("https://other.example/x?q=1", "https://other.example/x?q=1"),
+    ("HTTP://UPPER.example/y", "HTTP://UPPER.example/y"),  # absolute: as-is
+    ("//cdn.example/lib.js", "https://cdn.example/lib.js"),
+    ("/root/path", "https://www.site.example/root/path"),
+    ("rel/page", "https://www.site.example/rel/page"),  # site-root resolution
+    ("#frag-only", None),
+    ("", None),
+    ("javascript:void(0)", None),
+    ("MAILTO:a@b.example", None),
+    ("/keep#strip-frag", "https://www.site.example/keep"),
+]
+
+
+def test_resolve_link_branches(spark):
+    from webxtract.linkgraph import resolve_link_expr
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(RESOLVE_CASES)], "i int, raw string"
+    )
+    got = {
+        r["i"]: r["resolved"]
+        for r in df.select(
+            "i", resolve_link_expr(F.col("raw"), F.lit(BASE)).alias("resolved")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(RESOLVE_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_outlinks_extract_and_dedup(spark):
+    html = (
+        '<html><body><a href="/a">1</a><a href="/a">dup</a>'
+        '<a href="#x">frag</a><a href="https://z.example/p">abs</a>'
+        "<p>no links here</p></body></html>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://h.example/page", bytearray(html))], "url string, html binary"
+    )
+    rows = sorted(r["outlink"] for r in outlinks(df).collect())
+    assert rows == ["https://h.example/a", "https://z.example/p"]
+
+
+def test_host_graph_counts(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.example/1", "https://b.example/x"),
+            ("https://a.example/2", "https://b.example/y"),
+            ("https://a.example/1", "https://a.example/self"),
+        ],
+        "url string, outlink string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(links).collect()
+    }
+    assert got == {("a.example", "b.example"): 2, ("a.example", "a.example"): 1}
+
+
+def _reference_pagerank(edges, iterations=5, damping=0.85):
+    """Pure-Python mirror of the documented definition."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for s, _ in e:
+        out[s] += 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in e:
+            contrib[t] += r[s] / out[s]
+        dangling = sum(r[v] for v in nodes if out[v] == 0)
+        r = {
+            v: round(
+                (1.0 - damping) / n
+                + damping * (contrib[v] + dangling / n),
+                9,
+            )
+            for v in nodes
+        }
+    return {v: round(r[v], 6) for v in nodes}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two pages voting for a hub, hub dangles
+        [(1, 3), (2, 3)],
+        # cycle + dangling sink + self-loop
+        [(1, 2), (2, 3), (3, 1), (1, 4), (5, 5), (2, 4)],
+        # star: hub links out to every leaf, leaves link back
+        [(0, i) for i in range(1, 8)] + [(i, 0) for i in range(1, 8)],
+    ],
+)
+def test_pagerank_matches_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    want = _reference_pagerank(edges)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_pagerank_mass_conserved_and_hub_wins(spark):
+    # 20 pages all vote for node 100; with dangling redistribution the
+    # total mass stays 1 and the hub dominates
+    edges = [(i, 100) for i in range(20)] + [(i, i + 1) for i in range(19)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(df).collect()
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-4)
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert ranks[100] == max(ranks.values())
+
+
+def test_outlinks_plan_is_narrow(spark):
+    """Extraction + resolution must be a pure projection over the scan:
+    the only Exchange allowed is the dropDuplicates one."""
+    html = b'<html><a href="/x">l</a></html>'
+    df = spark.createDataFrame(
+        [("https://h.example/p", bytearray(html))], "url string, html binary"
+    )
+    plan = outlinks(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # exactly the distinct
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

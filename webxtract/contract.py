@@ -1023,3 +1023,91 @@ def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", *[m[k].alias(k) for k in sorted(m)]
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ link graph
+
+
+def _linky_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages table with deterministically planted link varieties per
+    doc_id modulo class: absolute cross-host, fragment-only,
+    protocol-relative, mailto:, root-relative hub (/p/{id%50}),
+    javascript:, and directory-relative — every resolution branch of
+    webxtract.linkgraph.resolve_link_expr occurs. Replicated verbatim
+    in the outlinks/host_graph oracles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    extra = (
+        F.when(m == 0, F.concat(
+            F.lit('<a href="https://partner.example/r/'), did,
+            F.lit('">p</a><a href="#top">t</a>')))
+        .when(m == 1, F.lit(
+            '<a href="//cdn.example/lib.js">c</a>'
+            '<a href="mailto:a@b.example">m</a>'))
+        .when(m == 2, F.concat(
+            F.lit('<a href="/p/'), (F.col("doc_id") % 50).cast("string"),
+            F.lit('">rel</a><a href="javascript:void(0)">j</a>')))
+        .otherwise(F.concat(
+            F.lit('<a href="docs/'), (F.col("doc_id") % 20).cast("string"),
+            F.lit('.html">d</a>')))
+    )
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/nav">Nav</a></nav><article><p>'),
+        F.col("text"), F.lit("</p>"), extra, F.lit("</article></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"), did,
+    )
+    return d.select(
+        "doc_id", url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + RFC-simplified resolution over pages with
+    planted link varieties — distinct (doc_id, url, outlink)."""
+    from webxtract.linkgraph import outlinks
+
+    pages = _linky_pages(spark, sf_dir)
+    return outlinks(pages, id_cols=("doc_id",)).orderBy("doc_id", "outlink")
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph rollup of the resolved outlinks: one
+    partial-agged shuffle on (src_host, dst_host)."""
+    from webxtract.linkgraph import host_graph, outlinks
+
+    pages = _linky_pages(spark, sf_dir)
+    return host_graph(outlinks(pages, id_cols=("doc_id",))).orderBy(
+        "src_host", "dst_host"
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (5) PageRank with dangling-mass redistribution
+    over a deterministic doc_id-derived edge list: every doc links to
+    hub doc_id%97; docs with doc_id%3!=0 also to (doc_id*7+3)%89; docs
+    with doc_id%11==0 also to a sink node 1000000+doc_id%13 (sinks have
+    no outlinks — the dangling branch is exercised). Oracle is the
+    unrolled 5-iteration DuckDB CTE with identical per-iteration 9-dp
+    rounding."""
+    from webxtract.linkgraph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    src = F.col("doc_id").alias("src")
+    edges = (
+        d.select(src, (F.col("doc_id") % 97).alias("dst"))
+        .union(
+            d.filter(F.col("doc_id") % 3 != 0).select(
+                src, ((F.col("doc_id") * 7 + 3) % 89).alias("dst"))
+        )
+        .union(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                src, (F.lit(1000000) + F.col("doc_id") % 13).alias("dst"))
+        )
+    )
+    return pagerank(edges).select(
+        "node", F.col("rank").alias("pagerank")
+    ).orderBy("node")

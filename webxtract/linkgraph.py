@@ -1,0 +1,184 @@
+"""Web link-graph operators: outlink extraction + resolution, host-level
+edge aggregation, and fixed-iteration PageRank.
+
+This is the Common-Crawl-adjacent product a web-scale extraction tier
+feeds: every page's hrefs become (src, dst) edges, edges roll up to a
+host graph, and PageRank over the graph drives crawl prioritization and
+quality weighting (CC publishes exactly this as its host-level web
+graph). Reference repo has no analog — this extends the inventory the
+way SURVEY.md §2.8 extends it for LLM-data curation.
+
+Scale shapes:
+
+- outlink extraction is a pure-expression layer (regexp_extract_all +
+  explode + CASE resolution) — zero Python, stays in whole-stage
+  codegen, embarrassingly parallel over the page scan;
+- the host graph is one partial-agged groupBy((src_host, dst_host))
+  shuffle over (host, host) string pairs — payloads never move;
+- PageRank is the classic iterative join: edges are deduplicated and
+  materialized ONCE (localCheckpoint — they are re-read every round),
+  rank state is a (node, out_deg, rank) frame of two ints + one double,
+  and each round is one join + one aggregation + one broadcast of the
+  1-row dangling-mass frame. No driver-side collect in the loop; at
+  10^12 edges the loop holds because the per-round shuffle carries
+  (node, double) only and the iteration count is fixed, not
+  data-dependent.
+
+Numeric determinism contract with the DuckDB oracles: every iteration's
+rank is rounded to 9 dp in BOTH engines, so cross-engine float-sum
+ordering drift (~1e-16 relative per aggregation) is squashed each round
+instead of compounding; the final output rounds to 6 dp. Constants are
+computed with the same IEEE double operation sequence on both sides
+((1 - damping) / n, 1.0 / n).
+
+URL-resolution semantics (shared verbatim with the oracle SQL):
+fragments are stripped first; empty / javascript: / mailto: links drop;
+absolute scheme://... links pass through unchanged; protocol-relative
+//host/path takes the base scheme; root-relative /path and bare
+relative path resolve against the base's scheme://host site root
+(directory-relative resolution is intentionally simplified to
+root-relative — documented divergence from RFC 3986 §5.2, acceptable
+for graph construction where the host is the unit that matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webxtract.curation import url_host_expr
+
+HREF_RE = r'href="([^"]*)"'
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def hrefs_expr(html_text: Column) -> Column:
+    """All href attribute values in document order (Java regex ∩ RE2,
+    shared with the DuckDB oracle)."""
+    return F.regexp_extract_all(html_text, F.lit(HREF_RE), 1)
+
+
+def resolve_link_expr(link: Column, base_url: Column) -> Column:
+    """``link`` resolved against ``base_url`` per the module contract
+    (NULL = drop). Pure CASE/regexp expressions."""
+    scheme = F.lower(F.regexp_extract(base_url, SCHEME_RE, 1))
+    root = F.concat(scheme, F.lit("://"), url_host_expr(base_url))
+    l2 = F.regexp_replace(link, "#.*$", "")
+    return (
+        F.when(l2 == "", F.lit(None).cast("string"))
+        .when(F.lower(l2).rlike("^(javascript|mailto):"), F.lit(None).cast("string"))
+        .when(l2.rlike(SCHEME_RE), l2)
+        .when(l2.startswith("//"), F.concat(scheme, F.lit(":"), l2))
+        .when(l2.startswith("/"), F.concat(root, l2))
+        .otherwise(F.concat(root, F.lit("/"), l2))
+    )
+
+
+def outlinks(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct (url, outlink) pairs per page: href extraction +
+    resolution as one narrow expression layer over the page scan.
+    ``html_col`` is the binary page payload; it is read through the
+    binary->string cast (invalid bytes become replacement chars, never
+    an ANSI MALFORMED_CHARACTER_CODING error — crawl payloads include
+    PDFs and garbage, and href extraction over replacement-mangled
+    bytes simply finds no links)."""
+    html_text = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    exploded = df.select(
+        *id_cols,
+        F.col(url_col).alias("url"),
+        F.explode_outer(hrefs_expr(html_text)).alias("raw_link"),
+    )
+    resolved = exploded.select(
+        *id_cols,
+        "url",
+        resolve_link_expr(F.col("raw_link"), F.col("url")).alias("outlink"),
+    )
+    return resolved.filter(F.col("outlink").isNotNull()).dropDuplicates(
+        [*id_cols, "url", "outlink"]
+    )
+
+
+def host_graph(links: DataFrame, src_col: str = "url", dst_col: str = "outlink") -> DataFrame:
+    """Host-level edge weights from page-level links: (src_host,
+    dst_host, n_links) — one partial-agged shuffle on the host pair."""
+    return (
+        links.select(
+            url_host_expr(F.col(src_col)).alias("src_host"),
+            url_host_expr(F.col(dst_col)).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank with uniform dangling-mass
+    redistribution over a directed edge list. Returns (node, rank)
+    with rank rounded to 6 dp; sum(rank) ≈ 1.
+
+    Definition (mirrored exactly by the unrolled DuckDB oracle):
+    edges deduplicate first; nodes = distinct(src) ∪ distinct(dst);
+    r0 = 1/n for all; each iteration
+        r'(v) = (1-d)/n + d * (Σ_{(s,v)∈E} r(s)/out(s) + dangling/n)
+    where dangling = Σ r(s) over out(s)=0, each r' rounded to 9 dp
+    (see module docstring for why).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = (
+        nodes.join(deg, nodes.node == deg.src, "left")
+        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = base.count()
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            ranks.filter(F.col("out_deg") > 0)
+            .join(e, ranks.node == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        dangling = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "out_deg",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    ),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -1361,3 +1361,137 @@ FROM documents
 WHERE text IS NOT NULL
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------ link graph
+
+# contract._linky_pages twin: same per-modulo-class HTML + url
+# construction, then href extraction and the resolve_link_expr CASE
+# replicated literally (fragment strip, javascript/mailto drop,
+# absolute pass-through, protocol-relative scheme graft, root-relative
+# site-root resolution).
+_LINKY_PAGES_SQL = """
+pages AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><nav><a href="/nav">Nav</a></nav><article><p>'
+           || text || '</p>'
+           || CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN '<a href="https://partner.example/r/'
+                  || CAST(doc_id AS VARCHAR) || '">p</a><a href="#top">t</a>'
+                WHEN 1 THEN '<a href="//cdn.example/lib.js">c</a>'
+                  || '<a href="mailto:a@b.example">m</a>'
+                WHEN 2 THEN '<a href="/p/' || CAST(doc_id % 50 AS VARCHAR)
+                  || '">rel</a><a href="javascript:void(0)">j</a>'
+                ELSE '<a href="docs/' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.html">d</a>'
+              END
+           || '</article></body></html>' AS html
+  FROM documents
+),
+raw AS (
+  SELECT doc_id, url,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+  FROM pages
+),
+stripped AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+           AS host,
+         regexp_replace(link, '#.*$', '') AS l2
+  FROM raw
+),
+links AS (
+  SELECT DISTINCT doc_id, url,
+    CASE
+      WHEN l2 = '' THEN NULL
+      WHEN regexp_matches(lower(l2), '^(javascript|mailto):') THEN NULL
+      WHEN regexp_matches(l2, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN l2
+      WHEN l2 LIKE '//%' THEN scheme || ':' || l2
+      WHEN l2 LIKE '/%' THEN scheme || '://' || host || l2
+      ELSE scheme || '://' || host || '/' || l2
+    END AS outlink
+  FROM stripped
+  WHERE CASE
+      WHEN l2 = '' THEN NULL
+      WHEN regexp_matches(lower(l2), '^(javascript|mailto):') THEN NULL
+      WHEN regexp_matches(l2, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN l2
+      WHEN l2 LIKE '//%' THEN scheme || ':' || l2
+      WHEN l2 LIKE '/%' THEN scheme || '://' || host || l2
+      ELSE scheme || '://' || host || '/' || l2
+    END IS NOT NULL
+)
+"""
+
+ORACLES["outlinks"] = (
+    "WITH " + _LINKY_PAGES_SQL
+    + "SELECT doc_id, url, outlink FROM links ORDER BY doc_id, outlink"
+)
+
+ORACLES["host_graph"] = (
+    "WITH " + _LINKY_PAGES_SQL
+    + """
+SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+         AS src_host,
+       lower(regexp_extract(outlink,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+         AS dst_host,
+       count(*) AS n_links
+FROM links
+GROUP BY 1, 2
+ORDER BY src_host, dst_host
+"""
+)
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain — the exact twin of
+    webxtract.linkgraph.pagerank over contract.q_pagerank's edge list,
+    including the per-iteration round(_, 9) that keeps both engines'
+    float drift from compounding."""
+    cte = [
+        """edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 7 + 3) % 89 FROM documents WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id, 1000000 + doc_id % 13 FROM documents WHERE doc_id % 11 = 0
+  )
+)""",
+        """nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        """nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""",
+        """deg AS (
+  SELECT n.node, coalesce(d.c, CAST(0 AS BIGINT)) AS out_deg
+  FROM nodes n
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) d
+    ON n.node = d.src
+)""",
+        """r0 AS (SELECT node, out_deg, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn)""",
+    ]
+    for i in range(1, iterations + 1):
+        cte.append(f"""r{i} AS (
+  SELECT g.node, g.out_deg,
+         round((1 - {damping}) / nn.n
+               + {damping} * (coalesce(c.contrib, 0) + dang.dm / nn.n),
+               9) AS pr
+  FROM deg g
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(pr), 0) AS dm
+              FROM r{i - 1} WHERE out_deg = 0) dang
+  LEFT JOIN (SELECT e.dst AS node, sum(r.pr / r.out_deg) AS contrib
+             FROM r{i - 1} r JOIN edges e ON r.node = e.src
+             WHERE r.out_deg > 0
+             GROUP BY e.dst) c
+    ON g.node = c.node
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT node, round(pr, 6) AS pagerank FROM r{iterations} ORDER BY node"
+    )
+
+
+ORACLES["pagerank"] = _pagerank_sql()
