@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": wrap(c.q_outlinks),
         "host_graph": wrap(c.q_host_graph),
         "pagerank": wrap(c.q_pagerank),
+        "anchor_texts": wrap(c.q_anchor_texts),
+        "robots_meta": wrap(c.q_robots_meta),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

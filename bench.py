@@ -186,6 +186,8 @@ def main() -> None:
         ("outlinks", contract.q_outlinks),
         ("host_graph", contract.q_host_graph),
         ("pagerank", contract.q_pagerank),
+        ("anchor_texts", contract.q_anchor_texts),
+        ("robots_meta", contract.q_robots_meta),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

@@ -136,3 +136,55 @@ def test_outlinks_plan_is_narrow(spark):
     plan = outlinks(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # exactly the distinct
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anchor_texts_zip_and_nofollow(spark):
+    html = (
+        '<html><body><a href="/a">one</a>'
+        '<a href="/b" rel="nofollow">two </a>'
+        '<a href="/dup">x</a><a href="/dup">y</a>'
+        '<a href="/dup">x</a>'  # exact dup collapses
+        "</body></html>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://h.example/p", bytearray(html))], "url string, html binary"
+    )
+    from webxtract.linkgraph import anchor_texts
+
+    rows = {
+        (r["outlink"], r["anchor_text"]): r["nofollow"]
+        for r in anchor_texts(df).collect()
+    }
+    assert rows == {
+        ("https://h.example/a", "one"): False,
+        ("https://h.example/b", "two"): True,  # trimmed + nofollow
+        ("https://h.example/dup", "x"): False,
+        ("https://h.example/dup", "y"): False,
+    }
+    kept = anchor_texts(df, drop_nofollow=True).collect()
+    assert all(not r["nofollow"] for r in kept) and len(kept) == 3
+
+
+def test_robots_meta_flags(spark):
+    from webxtract.linkgraph import robots_meta_exprs
+
+    cases = [
+        ('<meta name="robots" content="noindex, follow">', True, False),
+        ('<meta name="robots" content="index, nofollow">', False, True),
+        ('<meta name="robots" content="none">', True, True),
+        ('<meta name="robots" content="noindexing">', False, False),  # no substring match
+        ("", False, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, f"<html><head>{tag}</head></html>") for i, (tag, _, _) in enumerate(cases)],
+        "i int, h string",
+    )
+    r = robots_meta_exprs(F.col("h"))
+    got = {
+        row["i"]: (row["ni"], row["nf"])
+        for row in df.select(
+            "i", r["robots_noindex"].alias("ni"), r["robots_nofollow"].alias("nf")
+        ).collect()
+    }
+    for i, (_, ni, nf) in enumerate(cases):
+        assert got[i] == (ni, nf), f"case {i}"

@@ -1111,3 +1111,72 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(
         "node", F.col("rank").alias("pagerank")
     ).orderBy("node")
+
+
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with planted anchors + robots directives per doc_id modulo
+    class: a nofollow-tagged sponsored link (m0), an absolute external
+    link (m1), a duplicated href with two distinct anchor texts (m2), a
+    shared-vocab topic hub link (m3); head carries <meta name=robots>
+    noindex,follow / index,nofollow / none / absent respectively.
+    Replicated verbatim in the anchor_texts oracle; the robots_meta
+    oracle emits the planted booleans directly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    robots = (
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(m == 1, F.lit('<meta name="robots" content="index, nofollow">'))
+        .when(m == 2, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    extra = (
+        F.when(m == 0, F.concat(
+            F.lit('<a href="/sponsored/'), (F.col("doc_id") % 9).cast("string"),
+            F.lit('" rel="nofollow">ad link</a>')))
+        .when(m == 1, F.concat(
+            F.lit('<a href="https://x.example/'), did, F.lit('">ext link</a>')))
+        .when(m == 2, F.lit('<a href="/dup">one</a><a href="/dup">two</a>'))
+        .otherwise(F.concat(
+            F.lit('<a href="/t/'), (F.col("doc_id") % 5).cast("string"),
+            F.lit('">topic </a>')))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), robots, F.lit("</head><body>"),
+        F.lit('<a href="/a/'), did, F.lit('">first '), did, F.lit("</a>"),
+        extra, F.lit("</body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://w"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/page/"), did,
+    )
+    return d.select(
+        "doc_id", url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus extraction: (doc_id, url, outlink,
+    anchor_text, nofollow) with zip-aligned href/text groups and
+    href-level rel=nofollow marking."""
+    from webxtract.linkgraph import anchor_texts
+
+    pages = _anchor_pages(spark, sf_dir)
+    return anchor_texts(pages, id_cols=("doc_id",)).orderBy(
+        "doc_id", "outlink", "anchor_text"
+    )
+
+
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-directive flags from <meta name=robots> (noindex /
+    nofollow / none-implies-both / absent-means-indexable)."""
+    from webxtract.linkgraph import robots_meta_exprs
+
+    pages = _anchor_pages(spark, sf_dir)
+    html_text = F.coalesce(F.col("html").cast("string"), F.lit(""))
+    r = robots_meta_exprs(html_text)
+    return pages.select(
+        "doc_id",
+        r["robots_noindex"].alias("robots_noindex"),
+        r["robots_nofollow"].alias("robots_nofollow"),
+    ).orderBy("doc_id")

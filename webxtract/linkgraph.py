@@ -182,3 +182,63 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+ANCHOR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+NOFOLLOW_RE = r'<a href="([^"]*)"[^>]*rel="[^"]*nofollow[^"]*"[^>]*>'
+
+
+def anchor_pairs_expr(html_text: Column) -> Column:
+    """Array of (href, anchor_text) structs in document order. Spark's
+    regexp_extract_all extracts one group per call, so the two groups
+    come from two passes of the SAME pattern zipped positionally —
+    identical match sites guarantee alignment (the DuckDB oracle uses
+    the same two-pass construction)."""
+    hrefs = F.regexp_extract_all(html_text, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(html_text, F.lit(ANCHOR_RE), 2)
+    return F.arrays_zip(hrefs.alias("href"), texts.alias("anchor_text"))
+
+
+def anchor_texts(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_cols: tuple[str, ...] = (),
+    drop_nofollow: bool = False,
+) -> DataFrame:
+    """(url, outlink, anchor_text) rows — the anchor-text corpus used
+    for link-context training data and search relevance. Same narrow
+    expression shape as ``outlinks``; ``drop_nofollow`` excludes links
+    whose <a> tag carries rel="nofollow" (crawl-politeness graphs)."""
+    html_text = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    base = df.select(
+        *id_cols,
+        F.col(url_col).alias("url"),
+        F.explode_outer(anchor_pairs_expr(html_text)).alias("a"),
+        F.regexp_extract_all(html_text, F.lit(NOFOLLOW_RE), 1).alias("__nf"),
+    )
+    resolved = base.select(
+        *id_cols,
+        "url",
+        resolve_link_expr(F.col("a.href"), F.col("url")).alias("outlink"),
+        F.trim(F.col("a.anchor_text")).alias("anchor_text"),
+        (F.array_contains(F.col("__nf"), F.col("a.href"))).alias("nofollow"),
+    ).filter(F.col("outlink").isNotNull())
+    if drop_nofollow:
+        resolved = resolved.filter(~F.col("nofollow"))
+    return resolved.dropDuplicates([*id_cols, "url", "outlink", "anchor_text"])
+
+
+def robots_meta_exprs(html_text: Column) -> dict[str, Column]:
+    """Per-document robots directives from the <meta name="robots">
+    tag: noindex / nofollow / none (none implies both). Pure regex
+    expressions; absent tag means indexable. A crawl pipeline applies
+    the noindex flag before any text ships to training data."""
+    content = F.lower(
+        F.regexp_extract(html_text, r'<meta name="robots" content="([^"]*)"', 1)
+    )
+    has_none = content.rlike(r"(^|[ ,])none($|[ ,])")
+    return {
+        "robots_noindex": content.rlike(r"(^|[ ,])noindex($|[ ,])") | has_none,
+        "robots_nofollow": content.rlike(r"(^|[ ,])nofollow($|[ ,])") | has_none,
+    }

@@ -1495,3 +1495,92 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
 
 
 ORACLES["pagerank"] = _pagerank_sql()
+
+
+# contract._anchor_pages twin: same construction, two-pass group
+# extraction zipped positionally (identical match sites guarantee
+# alignment on both engines), href-level nofollow via list_contains.
+_ANCHOR_PAGES_SQL = """
+pages AS (
+  SELECT doc_id,
+         'https://w' || CAST(doc_id % 5 AS VARCHAR) || '.example/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><head>'
+           || CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+                WHEN 1 THEN '<meta name="robots" content="index, nofollow">'
+                WHEN 2 THEN '<meta name="robots" content="none">'
+                ELSE ''
+              END
+           || '</head><body><a href="/a/' || CAST(doc_id AS VARCHAR)
+           || '">first ' || CAST(doc_id AS VARCHAR) || '</a>'
+           || CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN '<a href="/sponsored/' || CAST(doc_id % 9 AS VARCHAR)
+                  || '" rel="nofollow">ad link</a>'
+                WHEN 1 THEN '<a href="https://x.example/'
+                  || CAST(doc_id AS VARCHAR) || '">ext link</a>'
+                WHEN 2 THEN '<a href="/dup">one</a><a href="/dup">two</a>'
+                ELSE '<a href="/t/' || CAST(doc_id % 5 AS VARCHAR)
+                  || '">topic </a>'
+              END
+           || '</body></html>' AS html
+  FROM documents
+)
+"""
+
+ORACLES["anchor_texts"] = (
+    "WITH " + _ANCHOR_PAGES_SQL
+    + """,
+arrs AS (
+  SELECT doc_id, url,
+         regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)
+           AS hrefs,
+         regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)
+           AS texts,
+         regexp_extract_all(html,
+           '<a href="([^"]*)"[^>]*rel="[^"]*nofollow[^"]*"[^>]*>', 1) AS nf
+  FROM pages
+),
+raw AS (
+  SELECT doc_id, url, nf, unnest(list_zip(hrefs, texts)) AS z FROM arrs
+),
+stripped AS (
+  SELECT doc_id, url, nf,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+           AS host,
+         z[1] AS href,
+         regexp_replace(z[1], '#.*$', '') AS l2,
+         trim(z[2]) AS anchor_text
+  FROM raw
+),
+resolved AS (
+  SELECT DISTINCT doc_id, url,
+    CASE
+      WHEN l2 = '' THEN NULL
+      WHEN regexp_matches(lower(l2), '^(javascript|mailto):') THEN NULL
+      WHEN regexp_matches(l2, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN l2
+      WHEN l2 LIKE '//%' THEN scheme || ':' || l2
+      WHEN l2 LIKE '/%' THEN scheme || '://' || host || l2
+      ELSE scheme || '://' || host || '/' || l2
+    END AS outlink,
+    anchor_text,
+    list_contains(nf, href) AS nofollow
+  FROM stripped
+)
+SELECT doc_id, url, outlink, anchor_text, nofollow
+FROM resolved WHERE outlink IS NOT NULL
+ORDER BY doc_id, outlink, anchor_text
+"""
+)
+
+# planted-values oracle: noindex for classes {0, 2}, nofollow for
+# {1, 2} (class 2 plants content="none", which implies both)
+ORACLES["robots_meta"] = """
+SELECT doc_id,
+       CAST(doc_id % 4 IN (0, 2) AS BOOLEAN) AS robots_noindex,
+       CAST(doc_id % 4 IN (1, 2) AS BOOLEAN) AS robots_nofollow
+FROM documents
+ORDER BY doc_id
+"""
