@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": wrap(c.q_pagerank),
         "anchor_texts": wrap(c.q_anchor_texts),
         "robots_meta": wrap(c.q_robots_meta),
+        "bm25": wrap(c.q_bm25),
+        "robots_filter": wrap(c.q_robots_filter),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

@@ -188,6 +188,8 @@ def main() -> None:
         ("pagerank", contract.q_pagerank),
         ("anchor_texts", contract.q_anchor_texts),
         ("robots_meta", contract.q_robots_meta),
+        ("bm25", contract.q_bm25),
+        ("robots_filter", contract.q_robots_filter),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

@@ -188,3 +188,64 @@ def test_robots_meta_flags(spark):
     }
     for i, (_, ni, nf) in enumerate(cases):
         assert got[i] == (ni, nf), f"case {i}"
+
+
+def test_robots_rules_longest_match(spark):
+    from webxtract.linkgraph import robots_verdicts
+
+    robots = spark.createDataFrame(
+        [("h.example",
+          "User-agent: googlebot\nDisallow: /\n\n"
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    cases = [
+        ("https://h.example/private/ok/1", True),   # Allow out-lengths Disallow
+        ("https://h.example/private/no", False),
+        ("https://h.example/public", True),
+        ("https://h.example", True),                # '' -> '/' no match
+        ("https://other.example/private/no", True), # no robots row
+    ]
+    urls = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["allowed"] for r in robots_verdicts(urls, robots).collect()}
+    for u, want in cases:
+        assert got[u] == want, u
+
+
+def test_robots_verdicts_broadcasts_rules(spark):
+    from webxtract.linkgraph import robots_verdicts
+
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame([("https://h.example/x/1",)], "url string")
+    plan = (
+        robots_verdicts(urls, robots)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_bm25_reference_values(spark):
+    """BM25 against hand-computed Lucene-form scores on a 3-doc corpus."""
+    import math
+
+    from webxtract.textops import bm25_scores
+
+    docs = [
+        (0, "spark shuffle join join"),
+        (1, "parquet scan filter"),
+        (2, "join the party"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ("join",)).collect()}
+
+    n, dfr = 3, 2
+    avgdl = (4 + 3 + 3) / 3
+    idf = math.log((n - dfr + 0.5) / (dfr + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))), 6)
+
+    assert got == {0: s(2, 4), 1: 0.0, 2: s(1, 3)}

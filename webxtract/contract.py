@@ -1180,3 +1180,52 @@ def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["robots_noindex"].alias("robots_noindex"),
         r["robots_nofollow"].alias("robots_nofollow"),
     ).orderBy("doc_id")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed 3-term
+    query — lexical search scoring / query-targeted data selection.
+    Two scans, zero wide shuffles (1-row stats broadcast)."""
+    from webxtract.textops import bm25_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(d, ("join", "filter", "scan")).orderBy("doc_id")
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt verdicts: 5 host classes (longest-match Allow
+    override, non-* section skipped, empty Disallow, block-all, no
+    robots row) x 4 path classes. The oracle emits the expected
+    verdict per (doc_id%5, doc_id%4) directly — a planted-truth check
+    of the whole parse + longest-prefix-match fold."""
+    from webxtract.linkgraph import robots_verdicts
+
+    robots = spark.createDataFrame(
+        [
+            ("r0.example",
+             "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+            ("r1.example",
+             "User-agent: googlebot\nDisallow: /\n\n"
+             "User-agent: *\nDisallow: /tmp\n"),
+            ("r2.example", "User-agent: *\nDisallow:\n"),
+            ("r3.example", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    pm = F.col("doc_id") % 4
+    path = (
+        F.when(pm == 0, F.concat(F.lit("/private/ok/"), did))
+        .when(pm == 1, F.concat(F.lit("/private/"), did))
+        .when(pm == 2, F.concat(F.lit("/tmp/"), did))
+        .otherwise(F.concat(F.lit("/page/"), did))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://r"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example"), path,
+        ).alias("url"),
+    )
+    return robots_verdicts(urls, robots).orderBy("doc_id")

@@ -242,3 +242,93 @@ def robots_meta_exprs(html_text: Column) -> dict[str, Column]:
         "robots_noindex": content.rlike(r"(^|[ ,])noindex($|[ ,])") | has_none,
         "robots_nofollow": content.rlike(r"(^|[ ,])nofollow($|[ ,])") | has_none,
     }
+
+
+# robots.txt handling: the per-host crawl-permission gate. The parser
+# covers the RFC 9309 core a curation pipeline needs — the
+# `User-agent: *` group's Allow/Disallow path prefixes, longest-match
+# precedence with Allow winning ties, no rule = allowed. (Wildcards
+# inside paths and crawl-delay are out of scope and documented so.)
+ROBOTS_SECTION_RE = r"(?s)User-agent: \*\n(.*?)(?:\nUser-agent:|$)"
+ROBOTS_RULE_TYPE = "array<struct<prefix:string,allow:boolean>>"
+
+
+def parse_robots_rules(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, rules) with rules = array<(prefix, allow)> from the
+    ``User-agent: *`` section; empty-path directives (``Disallow:``
+    alone = allow all) drop. Pure regex expressions."""
+    sec = F.regexp_extract(
+        F.coalesce(F.col(robots_col), F.lit("")), ROBOTS_SECTION_RE, 1
+    )
+
+    def tag(pat: str, allow: bool) -> Column:
+        return F.transform(
+            F.regexp_extract_all(sec, F.lit(pat), 1),
+            lambda p: F.struct(p.alias("prefix"), F.lit(allow).alias("allow")),
+        )
+
+    rules = F.concat(
+        tag(r"(?m)^Disallow: (\S+)", False), tag(r"(?m)^Allow: (\S+)", True)
+    )
+    return df.select(F.col(host_col).alias("host"), rules.alias("rules"))
+
+
+def robots_allowed_expr(path: Column, rules: Column) -> Column:
+    """Longest-prefix-match verdict for ``path`` against a rules array
+    (Allow wins length ties; no matching rule = allowed). One
+    F.aggregate fold — per-row expression work, no join explosion."""
+    zero = F.struct(F.lit(-1).alias("plen"), F.lit(True).alias("allow"))
+    best = F.aggregate(
+        F.coalesce(rules, F.lit(None).cast(ROBOTS_RULE_TYPE), F.array().cast(ROBOTS_RULE_TYPE)),
+        zero,
+        lambda acc, r: F.when(
+            path.startswith(r["prefix"])
+            & (
+                (F.length(r["prefix"]) > acc["plen"])
+                | ((F.length(r["prefix"]) == acc["plen"]) & r["allow"])
+            ),
+            F.struct(F.length(r["prefix"]).alias("plen"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return best["allow"]
+
+
+def url_path_expr(url: Column) -> Column:
+    """Path (+query) of a URL; '' normalizes to '/'. """
+    p = F.regexp_replace(url, SCHEME_RE + "[^/]*", "")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_verdicts(
+    urls: DataFrame, robots: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Every input row plus a boolean ``allowed`` — the robots gate a
+    crawl/curation pipeline applies before fetching or shipping a url.
+
+    Scale shape: robots tables are per-HOST (millions of rows at web
+    scale, not trillions) — parsed rules are aggregated to one array
+    row per host and BROADCAST; the url side never shuffles and the
+    verdict is a per-row expression fold."""
+    rules = parse_robots_rules(robots).groupBy("host").agg(
+        F.flatten(F.collect_list("rules")).alias("rules")
+    )
+    host = url_host_expr(F.col(url_col))
+    joined = urls.withColumn("__rhost", host).join(
+        F.broadcast(rules), F.col("__rhost") == rules.host, "left"
+    )
+    allowed = robots_allowed_expr(
+        url_path_expr(F.col(url_col)), F.col("rules")
+    )
+    return joined.select(*urls.columns, allowed.alias("allowed"))
+
+
+def filter_robots_allowed(
+    urls: DataFrame, robots: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Urls whose path the host's robots rules allow (see
+    robots_verdicts)."""
+    return robots_verdicts(urls, robots, url_col).filter(
+        F.col("allowed")
+    ).drop("allowed")

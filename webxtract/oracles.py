@@ -1584,3 +1584,81 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def _bm25_sql(terms: tuple[str, ...], k1: float = 1.2, b: float = 0.75) -> str:
+    """textops.bm25_scores twin: exact-integer corpus stats, fixed
+    term-order summation, float constants written as the same IEEE
+    operations ((1.2 + 1), (1 - 0.75)) the engine computes."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    parts = []
+    for i in range(len(terms)):
+        idf = (
+            f"ln((CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        norm = f"((1 - {b}) + {b} * (CAST(dl AS DOUBLE) / {avgdl}))"
+        parts.append(
+            f"{idf} * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1))"
+            f" / (CAST(tf_{i} AS DOUBLE) + {k1} * {norm})"
+        )
+    score = "0.0 + " + " + ".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                     t -> length(t) > 0) AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, round({score}, 6) AS bm25
+FROM base CROSS JOIN stats
+ORDER BY doc_id
+"""
+
+
+ORACLES["bm25"] = _bm25_sql(("join", "filter", "scan"))
+
+
+# contract.q_robots_filter twin: expected verdicts planted per
+# (host class doc_id%5, path class doc_id%4) — host 0 blocks only
+# /private/{id} (the /private/ok Allow out-lengths the Disallow),
+# host 1 blocks only /tmp (its * section, not the googlebot one),
+# host 2 has an empty Disallow (allow all), host 3 blocks everything,
+# host 4 has no robots row (allow).
+ORACLES["robots_filter"] = """
+SELECT doc_id,
+       'https://r' || CAST(doc_id % 5 AS VARCHAR) || '.example' ||
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+         ELSE '/page/' || CAST(doc_id AS VARCHAR)
+       END AS url,
+       CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN doc_id % 4 <> 1
+         WHEN 1 THEN doc_id % 4 <> 2
+         WHEN 2 THEN TRUE
+         WHEN 3 THEN FALSE
+         ELSE TRUE
+       END AS allowed
+FROM documents
+ORDER BY doc_id
+"""

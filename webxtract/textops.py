@@ -473,3 +473,70 @@ def script_signals_exprs(text: Column) -> dict[str, Column]:
         best = F.when(cond & (counts[name] >= best), counts[name]).otherwise(best)
     out["dominant_script"] = dominant
     return out
+
+
+def bm25_scores(
+    df: "DataFrame",  # noqa: F821
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":  # noqa: F821
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the lexical scorer used for search relevance and
+    quality-targeted data selection (select-by-query curation).
+
+    idf(t) = ln((N - df_t + 0.5)/(df_t + 0.5) + 1)   (Lucene form)
+    score  = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1-b + b·dl/avgdl))
+
+    Scale shape: TWO corpus scans and ZERO wide shuffles — pass 1 is a
+    partial-aggregated global reduce to one stats row (N, avgdl exact
+    from integer sums, df per term), pass 2 broadcasts that row back
+    (crossJoin of a 1-row frame) and scores each document in a pure
+    projection. Term tf comes from size(filter(tokens)) per term —
+    per-document work, whole-stage codegen.
+
+    Cross-engine determinism: N/df/dl/sum(dl) are exact integers, so
+    idf and the length normalization are identical doubles up to one
+    libm ln ulp; the per-term summation is written in fixed term order
+    on both sides and the final score rounds to 6 dp.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        tokens_expr(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: F.length(t) > 0,
+    )
+    def _tf(term: str):  # one-arg lambda: a 2-arg filter lambda would
+        # receive the array INDEX as its second argument
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.size("__toks").cast("long").alias("__dl"),
+        *[_tf(t).cast("long").alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    n, sumdl = F.col("__n"), F.col("__sumdl")
+    avgdl = sumdl.cast("double") / n.cast("double")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfr = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            (n.cast("double") - dfr + F.lit(0.5)) / (dfr + F.lit(0.5)) + F.lit(1.0)
+        )
+        norm = F.lit(1.0 - b) + F.lit(b) * (F.col("__dl").cast("double") / avgdl)
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(id_col, F.round(score, 6).alias("bm25"))
+    )
