@@ -1229,3 +1229,16 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return robots_verdicts(urls, robots).orderBy("doc_id")
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host-level PageRank over the resolved-outlink host
+    graph (edge weight = inter-host link count) — the Common-Crawl
+    host-web-graph rank product, end-to-end from page HTML."""
+    from webxtract.linkgraph import host_graph, outlinks, pagerank
+
+    pages = _linky_pages(spark, sf_dir)
+    hg = host_graph(outlinks(pages, id_cols=("doc_id",)))
+    return pagerank(
+        hg, src_col="src_host", dst_col="dst_host", weight_col="n_links"
+    ).select("node", F.col("rank").alias("pagerank")).orderBy("node")

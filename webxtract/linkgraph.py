@@ -122,32 +122,50 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank with uniform dangling-mass
     redistribution over a directed edge list. Returns (node, rank)
     with rank rounded to 6 dp; sum(rank) ≈ 1.
 
     Definition (mirrored exactly by the unrolled DuckDB oracle):
-    edges deduplicate first; nodes = distinct(src) ∪ distinct(dst);
-    r0 = 1/n for all; each iteration
-        r'(v) = (1-d)/n + d * (Σ_{(s,v)∈E} r(s)/out(s) + dangling/n)
-    where dangling = Σ r(s) over out(s)=0, each r' rounded to 9 dp
-    (see module docstring for why).
+    edges deduplicate first (weighted: duplicate (src, dst) weights
+    sum); nodes = distinct(src) ∪ distinct(dst); r0 = 1/n for all;
+    each iteration
+        r'(v) = (1-d)/n + d * (Σ_{(s,v)∈E} r(s)·w(s,v)/out_w(s)
+                               + dangling/n)
+    where out_w(s) = Σ outgoing weight (unweighted: out-degree),
+    dangling = Σ r(s) over out_w(s)=0, each r' rounded to 9 dp
+    (see module docstring for why). With ``weight_col`` this is the
+    weighted host-level rank Common Crawl publishes for its host web
+    graph (edge weight = inter-host link count).
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("out_deg"))
     base = (
         nodes.join(deg, nodes.node == deg.src, "left")
-        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .select("node", F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"))
         .localCheckpoint(eager=True)
     )
     n = base.count()
@@ -158,7 +176,9 @@ def pagerank(
             ranks.filter(F.col("out_deg") > 0)
             .join(e, ranks.node == e.src)
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .agg(
+                F.sum(F.col("rank") * F.col("w") / F.col("out_deg")).alias("contrib")
+            )
         )
         dangling = ranks.filter(F.col("out_deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")

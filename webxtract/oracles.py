@@ -1662,3 +1662,54 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def _pagerank_weighted_hosts_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """contract.q_pagerank_hosts twin: the _LINKY_PAGES_SQL host graph
+    as a weighted edge list, then the unrolled weighted-PageRank CTE
+    chain (contrib = pr * w / out_w; out_w = sum of outgoing weights;
+    per-iteration round(_, 9) as in the unweighted oracle). Weight
+    sums are integer-exact in doubles, so both engines agree before
+    rounding."""
+    host = "lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+    cte = [
+        _LINKY_PAGES_SQL.strip().rstrip(),
+        f"""hedges AS (
+  SELECT {host.format(u='url')} AS src,
+         {host.format(u='outlink')} AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM links GROUP BY 1, 2
+)""",
+        """gnodes AS (SELECT src AS node FROM hedges UNION SELECT dst FROM hedges)""",
+        """nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gnodes)""",
+        """deg AS (
+  SELECT g.node, coalesce(d.sw, 0.0) AS out_deg
+  FROM gnodes g
+  LEFT JOIN (SELECT src, sum(w) AS sw FROM hedges GROUP BY src) d
+    ON g.node = d.src
+)""",
+        """r0 AS (SELECT node, out_deg, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn)""",
+    ]
+    for i in range(1, iterations + 1):
+        cte.append(f"""r{i} AS (
+  SELECT g.node, g.out_deg,
+         round((1 - {damping}) / nn.n
+               + {damping} * (coalesce(c.contrib, 0) + dang.dm / nn.n),
+               9) AS pr
+  FROM deg g
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(pr), 0) AS dm
+              FROM r{i - 1} WHERE out_deg = 0) dang
+  LEFT JOIN (SELECT e.dst AS node, sum(r.pr * e.w / r.out_deg) AS contrib
+             FROM r{i - 1} r JOIN hedges e ON r.node = e.src
+             WHERE r.out_deg > 0
+             GROUP BY e.dst) c
+    ON g.node = c.node
+)""")
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT node, round(pr, 6) AS pagerank FROM r{iterations} ORDER BY node"
+    )
+
+
+ORACLES["pagerank_hosts"] = _pagerank_weighted_hosts_sql()
