@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": wrap(c.q_bm25),
         "robots_filter": wrap(c.q_robots_filter),
         "pagerank_hosts": wrap(c.q_pagerank_hosts),
+        "extraction_eval": wrap(c.q_extraction_eval),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

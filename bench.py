@@ -63,7 +63,15 @@ def main() -> None:
         shuffle_partitions=int(cpus),
         # UI stays on so per-pass executor CPU/GC can be read back from
         # the status REST API — separates engine time from host noise.
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4049",
+            # The CPU/GC deltas below sum over RETAINED completed stages;
+            # the default (1000) evicts early stages mid-suite and the
+            # running total goes backwards (negative per-pass deltas for
+            # stage-heavy queries like iterative PageRank).
+            "spark.ui.retainedStages": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -110,9 +118,11 @@ def main() -> None:
             thunk()
             walls.append(round(time.perf_counter() - t0, 3))
             c1, g1, r1 = _exec_totals()
-            cpus_.append(round(c1 - c0, 2))
-            gcs.append(round(g1 - g0, 2))
-            runs.append(round(r1 - r0, 2))
+            # max(0, ·): if stage eviction still shrinks the running
+            # totals, a negative delta is meaningless — floor it.
+            cpus_.append(round(max(0.0, c1 - c0), 2))
+            gcs.append(round(max(0.0, g1 - g0), 2))
+            runs.append(round(max(0.0, r1 - r0), 2))
         timings[name] = min(walls)
         cold[name] = walls[0]
         passes[name] = {
@@ -190,6 +200,8 @@ def main() -> None:
         ("robots_meta", contract.q_robots_meta),
         ("bm25", contract.q_bm25),
         ("robots_filter", contract.q_robots_filter),
+        ("pagerank_hosts", contract.q_pagerank_hosts),
+        ("extraction_eval", contract.q_extraction_eval),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

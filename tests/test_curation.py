@@ -448,3 +448,37 @@ def test_chunk_tokens_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_tokens(df, chunk_size=4, overlap=4)
+
+
+def test_extraction_eval_hand_computed(spark):
+    """Known multiset case: gold='a b b c', cand='a b d' ->
+    inter=min(1,1)[a]+min(1,2)[b]=2, p=2/3, r=2/4, f1=2pr/(p+r)=4/7.
+    Plus: perfect match, disjoint (f1=0.0), empty cand (NULLs), NULL
+    gold (n_gold=0 -> rec/f1 NULL)."""
+    from pyspark.sql import functions as F
+
+    from webxtract.textops import extraction_eval
+
+    rows = [
+        (1, "a b b c", "a b d"),
+        (2, "Same, text!", "same TEXT"),
+        (3, "aaa bbb", "ccc ddd"),
+        (4, "gold here", ""),
+        (5, None, "cand only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, gold string, cand string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in extraction_eval(
+            df, F.col("gold"), F.col("cand")
+        ).collect()
+    }
+    assert out[1]["inter_tokens"] == 2
+    assert out[1]["prec"] == round(2 / 3, 6)
+    assert out[1]["rec"] == 0.5
+    assert out[1]["f1"] == round(4 / 7, 6)
+    assert out[2]["f1"] == 1.0 and out[2]["prec"] == 1.0 and out[2]["rec"] == 1.0
+    assert out[3]["inter_tokens"] == 0 and out[3]["f1"] == 0.0
+    assert out[4]["n_cand"] == 0 and out[4]["prec"] is None
+    assert out[4]["f1"] is None and out[4]["rec"] == 0.0
+    assert out[5]["n_gold"] == 0 and out[5]["rec"] is None and out[5]["f1"] is None

@@ -291,3 +291,19 @@ def test_chunk_dedup_plan_text_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line and "chunk" not in line.split("hashpartitioning")[0]
+
+
+def test_extraction_eval_is_narrow_single_aggregate(spark):
+    """Per-row extraction scoring must stay embarrassingly parallel:
+    zero exchanges/joins besides the query's output orderBy (vs the
+    oracle's explode→group→join formulation, which at 10^12 docs would
+    shuffle ~10^14 token rows), and the multiset-intersection aggregate
+    must appear ONCE in the plan (CollapseProject duplicating it across
+    the three metric columns would triple the per-row cost)."""
+    from webxtract.contract import q_extraction_eval
+
+    plan = _plan(q_extraction_eval(spark, TESTDATA))
+    # one exchange: the contract orderBy's range partitioning
+    assert _nodes(plan, "Exchange") == 1
+    assert "Join" not in plan and "Generate" not in plan
+    assert plan.count("aggregate(") == 1

@@ -1242,3 +1242,26 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         hg, src_col="src_host", dst_col="dst_host", weight_col="n_links"
     ).select("node", F.col("rank").alias("pagerank")).orderBy("node")
+
+
+def q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed extraction-quality scoring: token-multiset
+    precision/recall/F1 of a candidate extraction vs gold text, with a
+    deterministic candidate perturbation (retained boilerplate on
+    doc_id%3==0 for precision<1, 120-char truncation on doc_id%5==0
+    for recall<1) so all three metrics exercise non-trivial values."""
+    from webxtract.textops import extraction_eval
+
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nhome about contact privacy terms login"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 0, F.substring(F.col("text"), 1, 120))
+        .otherwise(F.col("text"))
+    )
+    return extraction_eval(d, F.col("text"), cand).orderBy("doc_id")

@@ -1713,3 +1713,60 @@ def _pagerank_weighted_hosts_sql(iterations: int = 5, damping: float = 0.85) -> 
 
 
 ORACLES["pagerank_hosts"] = _pagerank_weighted_hosts_sql()
+
+
+# contract.q_extraction_eval twin: identical perturbation + tokenizer;
+# the multiset intersection is the explode→group→join formulation
+# (sum(least(count_cand, count_gold)) over matched tokens) which is
+# exactly Σ_t min — integer-exact, so the raw doubles fed to round()
+# are bit-identical across engines.
+ORACLES["extraction_eval"] = """
+WITH docs AS (
+  SELECT doc_id,
+         text AS gold,
+         CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || 'home about contact privacy terms login'
+              WHEN doc_id % 5 = 0 THEN substr(text, 1, 120)
+              ELSE text END AS cand
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(gold)), '[^a-z0-9]+'),
+                     t -> t <> '') AS g,
+         list_filter(regexp_split_to_array(trim(lower(cand)), '[^a-z0-9]+'),
+                     t -> t <> '') AS a
+  FROM docs
+),
+gt AS (SELECT doc_id, unnest(g) AS tk FROM tok),
+at AS (SELECT doc_id, unnest(a) AS tk FROM tok),
+gc AS (SELECT doc_id, tk, count(*) AS c FROM gt GROUP BY 1, 2),
+ac AS (SELECT doc_id, tk, count(*) AS c FROM at GROUP BY 1, 2),
+iv AS (
+  SELECT gc.doc_id, sum(least(gc.c, ac.c)) AS inter
+  FROM gc JOIN ac ON gc.doc_id = ac.doc_id AND gc.tk = ac.tk
+  GROUP BY 1
+),
+base AS (
+  SELECT t.doc_id,
+         CAST(len(t.g) AS BIGINT) AS n_gold,
+         CAST(len(t.a) AS BIGINT) AS n_cand,
+         CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter_tokens
+  FROM tok t LEFT JOIN iv ON t.doc_id = iv.doc_id
+)
+SELECT doc_id, n_gold, n_cand, inter_tokens,
+       CASE WHEN n_cand > 0
+            THEN round(CAST(inter_tokens AS DOUBLE) / n_cand, 6) END AS prec,
+       CASE WHEN n_gold > 0
+            THEN round(CAST(inter_tokens AS DOUBLE) / n_gold, 6) END AS rec,
+       CASE WHEN n_cand > 0 AND n_gold > 0 THEN
+         CASE WHEN inter_tokens > 0 THEN
+           round(2.0 * (CAST(inter_tokens AS DOUBLE) / n_cand)
+                     * (CAST(inter_tokens AS DOUBLE) / n_gold)
+                 / ((CAST(inter_tokens AS DOUBLE) / n_cand)
+                    + (CAST(inter_tokens AS DOUBLE) / n_gold)), 6)
+         ELSE 0.0 END
+       END AS f1
+FROM base
+ORDER BY doc_id
+"""

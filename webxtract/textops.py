@@ -540,3 +540,98 @@ def bm25_scores(
         base.crossJoin(F.broadcast(stats))
         .select(id_col, F.round(score, 6).alias("bm25"))
     )
+
+
+def eval_tokens_expr(text: Column) -> Column:
+    """Lowercased alphanumeric tokens for extraction-quality scoring
+    (the tokenization extraction benchmarks score against: case- and
+    punctuation-insensitive, so markup debris and spacing drift don't count
+    as content differences). NULL-safe; empty text -> empty array."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def extraction_eval(
+    df: "DataFrame",  # noqa: F821
+    gold_col: Column,
+    cand_col: Column,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> "DataFrame":  # noqa: F821
+    """Token-multiset precision / recall / F1 of a candidate extraction
+    against gold text — the scoring function of the public
+    main-content-extraction benchmarks (trafilatura/boilerpipe evals),
+    run distributively so an extractor change can be regression-scored
+    over the whole crawl.
+
+    inter = Σ_{t ∈ distinct(gold ∪ cand)} min(count_cand(t), count_gold(t))
+    precision = inter / |cand|,  recall = inter / |gold|,
+    f1 = 2pr/(p+r); NULL where the denominator is empty, 6-dp rounds
+    computed from raw doubles in both engines.
+
+    Scale shape: strictly PER-ROW expressions — zero shuffles, zero
+    Python, embarrassingly parallel over 10^12 docs (the alternative
+    explode→groupBy(doc,token) formulation the DuckDB oracle uses would
+    shuffle ~10^14 token rows). The multiset intersection is a
+    higher-order aggregate over the distinct-token union (quadratic in
+    per-doc distinct tokens — bounded, docs are capped upstream); the
+    two token arrays bind once via a struct so the interpreted HOF
+    evaluates each split exactly once per row. The stage-2 metric
+    projection reads inter/n_* as named columns: CollapseProject keeps
+    non-cheap aliases referenced more than once un-inlined, so the
+    aggregate runs once per row, not once per metric.
+    """
+    from webxtract.exprs import bind_once
+
+    pair = F.struct(
+        eval_tokens_expr(gold_col).alias("g"),
+        eval_tokens_expr(cand_col).alias("a"),
+    )
+
+    def _counts(p: Column) -> Column:
+        g, a = p["g"], p["a"]
+        inter = F.aggregate(
+            F.array_distinct(F.concat(a, g)),
+            F.lit(0),
+            lambda acc, tok: acc
+            + F.least(
+                F.size(F.filter(a, lambda u: u == tok)),
+                F.size(F.filter(g, lambda v: v == tok)),
+            ),
+        )
+        return F.struct(
+            F.size(g).cast("long").alias("n_gold"),
+            F.size(a).cast("long").alias("n_cand"),
+            inter.cast("long").alias("inter"),
+        )
+
+    # The struct materializes as ONE column in its own projection, with
+    # field extraction in the NEXT select: fanning the fields out here
+    # would plant three copies of the whole tree, and Spark's
+    # subexpression elimination cannot merge them (EquivalentExpressions
+    # skips lambda-variable trees), so the aggregate would run 3x/row.
+    # CollapseProject leaves the split alone — the alias is non-cheap
+    # and referenced more than once.
+    stage1 = df.select(*id_cols, bind_once(pair, _counts).alias("__m")).select(
+        *id_cols,
+        F.col("__m")["n_gold"].alias("n_gold"),
+        F.col("__m")["n_cand"].alias("n_cand"),
+        F.col("__m")["inter"].alias("inter_tokens"),
+    )
+    n_g, n_a, iv = F.col("n_gold"), F.col("n_cand"), F.col("inter_tokens")
+    p_raw = iv.cast("double") / n_a.cast("double")
+    r_raw = iv.cast("double") / n_g.cast("double")
+    f1_raw = F.lit(2.0) * p_raw * r_raw / (p_raw + r_raw)
+    return stage1.select(
+        *id_cols,
+        "n_gold",
+        "n_cand",
+        "inter_tokens",
+        F.when(n_a > 0, F.round(p_raw, 6)).alias("prec"),
+        F.when(n_g > 0, F.round(r_raw, 6)).alias("rec"),
+        F.when(
+            (n_a > 0) & (n_g > 0),
+            F.when(iv > 0, F.round(f1_raw, 6)).otherwise(F.lit(0.0)),
+        ).alias("f1"),
+    )
