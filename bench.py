@@ -202,6 +202,7 @@ def main() -> None:
         ("robots_filter", contract.q_robots_filter),
         ("pagerank_hosts", contract.q_pagerank_hosts),
         ("extraction_eval", contract.q_extraction_eval),
+        ("c4_clean", contract.q_c4_clean),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

@@ -482,3 +482,53 @@ def test_extraction_eval_hand_computed(spark):
     assert out[4]["n_cand"] == 0 and out[4]["prec"] is None
     assert out[4]["f1"] is None and out[4]["rec"] == 0.0
     assert out[5]["n_gold"] == 0 and out[5]["rec"] is None and out[5]["f1"] is None
+
+
+def test_c4_clean_hand_computed(spark):
+    """Each C4 rule on a hand-built page: unpunctuated line dropped,
+    <5-word line dropped, javascript line dropped, kept lines joined in
+    order; lorem-ipsum / curly-brace / <3-kept-lines each reject the
+    document; NULL text -> 1 empty line, nothing kept, rejected."""
+    from pyspark.sql import functions as F
+
+    from webxtract.curation import c4_clean_exprs
+
+    good = (
+        "no terminal punctuation here at all\n"
+        "This first sentence has plenty of words to keep.\n"
+        "Too short.\n"
+        "Please enable javascript to view this content now.\n"
+        "A second keeper sentence with enough words!\n"
+        'A third keeper line, quoted ending counts too."'
+    )
+    rows = [
+        (1, good),
+        (2, good + "\nlorem IPSUM dolor"),
+        (3, good + "\nvar x = {1: 2}"),
+        (4, "Only one keeper sentence with enough words here.\nshort"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    e = c4_clean_exprs(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in e.items()]
+        ).collect()
+    }
+    assert out[1]["n_lines"] == 6 and out[1]["n_lines_kept"] == 3
+    assert out[1]["cleaned_text"] == (
+        "This first sentence has plenty of words to keep.\n"
+        "A second keeper sentence with enough words!\n"
+        'A third keeper line, quoted ending counts too."'
+    )
+    assert out[1]["c4_keep"] is True
+    assert out[2]["has_lorem_ipsum"] is True and out[2]["c4_keep"] is False
+    assert out[3]["has_curly_brace"] is True and out[3]["c4_keep"] is False
+    assert out[4]["n_lines_kept"] == 1 and out[4]["c4_keep"] is False
+    assert (
+        out[5]["n_lines"] == 1
+        and out[5]["n_lines_kept"] == 0
+        and out[5]["cleaned_text"] == ""
+        and out[5]["c4_keep"] is False
+    )

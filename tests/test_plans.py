@@ -307,3 +307,13 @@ def test_extraction_eval_is_narrow_single_aggregate(spark):
     assert _nodes(plan, "Exchange") == 1
     assert "Join" not in plan and "Generate" not in plan
     assert plan.count("aggregate(") == 1
+
+
+def test_c4_clean_is_narrow(spark):
+    """The C4 ruleset is one narrow projection over the scan: zero
+    joins/explodes, the only exchange is the output orderBy."""
+    from webxtract.contract import q_c4_clean
+
+    plan = _plan(q_c4_clean(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") == 1
+    assert "Join" not in plan and "Generate" not in plan

@@ -1265,3 +1265,43 @@ def q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
     )
     return extraction_eval(d, F.col("text"), cand).orderBy("doc_id")
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/T5 line+document cleaning ruleset: line filter (terminal
+    punctuation, >=5 words, no 'javascript') and doc flags (lorem
+    ipsum, curly brace, >=3 retained lines). The documents table is
+    single-line unpunctuated text, so the page is rebuilt as a
+    deterministic 5-line mix that exercises every rule: the raw
+    unpunctuated line (dropped), a doc-varying kept sentence, a
+    too-short line, a javascript line on doc_id%7, and a curly-brace /
+    lorem-ipsum / kept tail on doc_id%11 / %13 / else."""
+    from webxtract.curation import c4_clean_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.concat(F.substring(F.col("text"), 1, 100), F.lit(" and so it ends.")),
+        F.lit("Too short."),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("Please enable javascript to view this page."),
+        ).otherwise(F.lit("Another sentence with enough words to pass.")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("function() { return 1; }"))
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+        )
+        .otherwise(F.lit("Final closing line with sufficient words here.")),
+    )
+    e = c4_clean_exprs(page)
+    return d.select(
+        "doc_id",
+        e["n_lines"].alias("n_lines"),
+        e["n_lines_kept"].alias("n_lines_kept"),
+        e["cleaned_text"].alias("cleaned_text"),
+        e["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+        e["has_curly_brace"].alias("has_curly_brace"),
+        e["c4_keep"].alias("c4_keep"),
+    ).orderBy("doc_id")

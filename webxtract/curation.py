@@ -774,3 +774,44 @@ def crawl_diff(
         .otherwise("unchanged")
     )
     return j.select("id", status.alias("status"))
+
+
+def c4_clean_exprs(text: Column) -> dict[str, Column]:
+    """C4-style line and document cleaning (the T5-paper ruleset, the
+    most widely replicated public web-corpus filter): keep only lines
+    that end in a terminal punctuation mark, contain >= 5 words, and do
+    not mention 'javascript'; reject whole documents containing
+    'lorem ipsum' or a curly brace, or retaining < 3 lines.
+
+    Pure per-row expressions — one split, one HOF filter, zero
+    shuffles/Python — so the filter runs as a narrow map over 10^12
+    pages. Returns cleaned_text (retained lines, newline-joined),
+    n_lines / n_lines_kept, the two document flags, and the composite
+    c4_keep verdict. NULL text cleans to '' and is rejected (n_kept=0),
+    matching the NULL-as-empty contract of the other line ops here."""
+    t = F.coalesce(text, F.lit(""))
+    lines = F.split(t, r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike(r'[.!?"]$')
+        & (
+            F.size(
+                F.filter(
+                    F.split(F.trim(l), r"\s+"), lambda w: w != F.lit("")
+                )
+            )
+            >= 5
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    n_kept = F.size(kept)
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_lines_kept": n_kept.cast("long"),
+        "cleaned_text": F.array_join(kept, "\n"),
+        "has_lorem_ipsum": has_lorem,
+        "has_curly_brace": has_brace,
+        "c4_keep": (n_kept >= 3) & ~has_lorem & ~has_brace,
+    }

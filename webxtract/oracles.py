@@ -1770,3 +1770,48 @@ SELECT doc_id, n_gold, n_cand, inter_tokens,
 FROM base
 ORDER BY doc_id
 """
+
+
+# contract.q_c4_clean twin: identical line predicate (rtrim-anchored
+# terminal punctuation, >=5 non-empty whitespace tokens, no
+# 'javascript' substring) and document flags.
+ORACLES["c4_clean"] = """
+WITH base AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           text,
+           substr(text, 1, 100) || ' and so it ends.',
+           'Too short.',
+           CASE WHEN doc_id % 7 = 0
+                THEN 'Please enable javascript to view this page.'
+                ELSE 'Another sentence with enough words to pass.' END,
+           CASE WHEN doc_id % 11 = 0 THEN 'function() { return 1; }'
+                WHEN doc_id % 13 = 0
+                THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'
+                ELSE 'Final closing line with sufficient words here.' END
+         ) AS t
+  FROM documents
+),
+k AS (
+  SELECT doc_id, t,
+         regexp_split_to_array(t, '\n') AS lines,
+         list_filter(
+           regexp_split_to_array(t, '\n'),
+           l -> regexp_matches(rtrim(l), '[.!?"]$')
+                AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                                    w -> w <> '')) >= 5
+                AND NOT contains(lower(l), 'javascript')
+         ) AS kept
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(t, '{') AS has_curly_brace,
+       (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, '{')) AS c4_keep
+FROM k
+ORDER BY doc_id
+"""
