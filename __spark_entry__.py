@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction operators (S1-S3, E1-E5)
         "warc_roundtrip": wrap(c.q_warc_roundtrip),
         "warc_cdx": wrap(c.q_warc_cdx),
+        "wet_records": wrap(c.q_wet_records),
         "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
         "html_metadata": wrap(c.q_html_metadata),
         "extract_pdf_roundtrip": wrap(c.q_extract_pdf_roundtrip),

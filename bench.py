@@ -186,6 +186,7 @@ def main() -> None:
         ("html_metadata", contract.q_html_metadata),
         ("warc_roundtrip", contract.q_warc_roundtrip),
         ("warc_cdx", contract.q_warc_cdx),
+        ("wet_records", contract.q_wet_records),
         ("pdf_page_explode", contract.q_pdf_page_explode),
         ("media_normalize", contract.q_media_normalize),
         ("media_resize", contract.q_media_resize),

@@ -317,3 +317,14 @@ def test_c4_clean_is_narrow(spark):
     plan = _plan(q_c4_clean(spark, TESTDATA))
     assert _nodes(plan, "Exchange") == 1
     assert "Join" not in plan and "Generate" not in plan
+
+
+def test_wet_records_is_narrow(spark):
+    """WET serialization is one narrow projection over the scan: zero
+    joins/explodes/Python; the only exchange is the output orderBy."""
+    from webxtract.contract import q_wet_records
+
+    plan = _plan(q_wet_records(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") == 1
+    assert "Join" not in plan and "Generate" not in plan
+    assert "Python" not in plan

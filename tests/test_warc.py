@@ -273,3 +273,54 @@ def test_revisit_records_resolve(spark, tmp_path):
     assert out[("response", "http://a.example.com/")].resolved is True
     dangling = out[("revisit", "http://gone.example.com/")]
     assert dangling.resolved is False and bytes(dangling.payload or b"") == b""
+
+
+def test_wet_sink_roundtrip(spark, corpus, tmp_path):
+    """pages -> extract -> WET segments -> read_warc: every conversion
+    payload byte-identical to its extracted_text, one warcinfo record
+    per segment file, and segment bytes a pure function of content
+    (two writes of the same partitions -> identical file md5s)."""
+    from pyspark.sql import functions as F
+
+    from webxtract.ops.extract import extract_pages
+
+    pages_path, _ = corpus
+    ex = (
+        extract_pages(spark.read.parquet(pages_path))
+        .select("url", "warc_ts", "extracted_text")
+        .repartition(3, "url")
+        .sortWithinPartitions("url")
+    )
+    wet = ex.withColumn(
+        "wet_record",
+        W.wet_record_expr(
+            F.col("url"), F.col("warc_ts"), F.col("extracted_text")
+        ),
+    )
+
+    out1, out2 = str(tmp_path / "wet1"), str(tmp_path / "wet2")
+    man = W.write_wet_segments(wet, out1, "2026-01-15T00:00:00Z").collect()
+    W.write_wet_segments(wet, out2, "2026-01-15T00:00:00Z").collect()
+
+    n_rows = ex.count()
+    assert sum(m.n_records for m in man) == n_rows
+    assert {m.wet_file for m in man} == set(os.listdir(out1))
+
+    back = {
+        r.url: r.txt
+        for r in W.read_warc(spark, out1, record_types=("conversion",))
+        .select("url", F.col("payload").cast("string").alias("txt"))
+        .collect()
+    }
+    expected = {
+        r.url: (r.extracted_text or "") for r in ex.collect()
+    }
+    assert back == expected
+
+    info = W.read_warc(spark, out1, record_types=("warcinfo",)).collect()
+    assert len(info) == len(man)
+
+    for name in os.listdir(out1):
+        h1 = hashlib.md5(open(os.path.join(out1, name), "rb").read())
+        h2 = hashlib.md5(open(os.path.join(out2, name), "rb").read())
+        assert h1.hexdigest() == h2.hexdigest(), name

@@ -936,6 +936,35 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("urlkey")
 
 
+def q_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record serialization (the extraction tier's
+    Common-Crawl output format) as a pure projection: every document
+    becomes its full WARC/1.0 conversion record string — headers,
+    deterministic record ids, conditional language header (doc_id%17
+    rows get NULL lang to exercise the branch), sha256 block digest,
+    byte-exact Content-Length — and the oracle rebuilds the identical
+    bytes, so (rec_bytes, rec_md5) pin the whole serialization."""
+    from webxtract.warc import wet_record_expr
+
+    d = _t(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    ts = F.timestamp_add(
+        "SECOND",
+        (F.col("doc_id") % 86400).cast("int"),
+        F.to_timestamp(F.lit("2026-01-15 00:00:00")),
+    )
+    lang = F.when(F.col("doc_id") % 17 == 0, F.lit(None)).otherwise(
+        F.col("lang")
+    )
+    rec = wet_record_expr(uri, ts, F.col("text"), lang)
+    return d.select(
+        "doc_id",
+        F.octet_length(F.coalesce("text", F.lit(""))).alias("content_length"),
+        F.octet_length(rec).alias("rec_bytes"),
+        F.md5(rec.cast("binary")).alias("rec_md5"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------ substring-level dedup
 
 

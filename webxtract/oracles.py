@@ -1815,3 +1815,57 @@ SELECT doc_id,
 FROM k
 ORDER BY doc_id
 """
+
+
+# contract.q_wet_records twin: the full WET conversion record rebuilt
+# character-for-character in SQL (same deterministic uuid derivations,
+# conditional language header, sha256 digest, CRLF discipline), hashed.
+ORACLES["wet_records"] = """
+WITH base AS (
+  SELECT doc_id,
+         'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+         strftime(TIMESTAMP '2026-01-15 00:00:00'
+                  + (doc_id % 86400) * INTERVAL 1 SECOND,
+                  '%Y-%m-%dT%H:%M:%SZ') AS d,
+         coalesce(text, '') AS t,
+         CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lg
+  FROM documents
+),
+ids AS (
+  SELECT *,
+         md5(uri || chr(10) || 'conversion' || chr(10) || d) AS h1,
+         md5(uri || chr(10) || d) AS h2
+  FROM base
+),
+rec AS (
+  SELECT doc_id,
+         CAST(strlen(t) AS BIGINT) AS content_length,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: conversion' || chr(13) || chr(10)
+         || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+         || 'WARC-Date: ' || d || chr(13) || chr(10)
+         || 'WARC-Record-ID: <urn:uuid:' || substr(h1, 1, 8) || '-'
+            || substr(h1, 9, 4) || '-' || substr(h1, 13, 4) || '-'
+            || substr(h1, 17, 4) || '-' || substr(h1, 21, 12) || '>'
+            || chr(13) || chr(10)
+         || 'WARC-Refers-To: <urn:uuid:' || substr(h2, 1, 8) || '-'
+            || substr(h2, 9, 4) || '-' || substr(h2, 13, 4) || '-'
+            || substr(h2, 17, 4) || '-' || substr(h2, 21, 12) || '>'
+            || chr(13) || chr(10)
+         || CASE WHEN lg IS NOT NULL
+                 THEN 'WARC-Identified-Content-Language: ' || lg
+                      || chr(13) || chr(10)
+                 ELSE '' END
+         || 'WARC-Block-Digest: sha256:' || sha256(t) || chr(13) || chr(10)
+         || 'Content-Type: text/plain' || chr(13) || chr(10)
+         || 'Content-Length: ' || CAST(strlen(t) AS VARCHAR)
+            || chr(13) || chr(10) || chr(13) || chr(10)
+         || t || chr(13) || chr(10) || chr(13) || chr(10) AS r
+  FROM ids
+)
+SELECT doc_id, content_length,
+       CAST(strlen(r) AS BIGINT) AS rec_bytes,
+       md5(r) AS rec_md5
+FROM rec
+ORDER BY doc_id
+"""

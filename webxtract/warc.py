@@ -384,6 +384,156 @@ def warc_to_pages(warc: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- WET sink
+
+# An extraction tier's canonical product is the WET file: one
+# ``WARC-Type: conversion`` record of extracted plain text per page,
+# gzip-membered exactly like the response segments it derives from
+# (Common Crawl ships one .warc.wet.gz per .warc.gz). The reference
+# service returns extracted text per request
+# (`/root/reference/app/models/responses.py:26-34`); at archive scale
+# the same output is serialized as WET. The record itself is built as a
+# PURE string expression (zero Python), so the serialization plan is a
+# narrow projection over the extraction output and the DuckDB oracle
+# can rebuild the identical bytes. One documented deviation from CC
+# convention: WARC-Block-Digest is ``sha256:<hex>`` (both engines share
+# sha256/md5; neither has base32-sha1 natively — the WARC spec permits
+# any labelled algorithm).
+
+_CRLF = "\r\n"
+
+
+def _uuid_expr(h: Column) -> Column:
+    """8-4-4-4-12 hyphenation of an md5 hex column into urn:uuid form
+    (the expression twin of ``_det_record_id``)."""
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"),
+    )
+
+
+def wet_record_expr(
+    uri: Column, warc_ts: Column, text: Column, lang: Column | None = None
+) -> Column:
+    """The full uncompressed WET conversion record (headers + payload +
+    record separator) as one string Column. NULL text serializes as an
+    empty payload (Content-Length: 0) — a blank-extraction page still
+    gets its conversion record, mirroring CC. ``WARC-Refers-To`` is the
+    deterministic id of the response record this text was converted
+    from (same derivation as ``warc_response_record``), so a WET row
+    links back to its WARC capture without carrying offsets."""
+    t = F.coalesce(text, F.lit(""))
+    # NULL capture time would NULL the whole concat: pin it to epoch so
+    # a timestamp-less page still serializes (CC requires WARC-Date).
+    d = F.coalesce(
+        F.date_format(warc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("1970-01-01T00:00:00Z"),
+    )
+    rec_id = _uuid_expr(
+        F.md5(F.concat(uri, F.lit("\nconversion\n"), d).cast("binary"))
+    )
+    refers = _uuid_expr(F.md5(F.concat(uri, F.lit("\n"), d).cast("binary")))
+    lang_hdr = (
+        F.lit("")
+        if lang is None
+        else F.when(
+            lang.isNotNull(),
+            F.concat(
+                F.lit("WARC-Identified-Content-Language: "), lang, F.lit(_CRLF)
+            ),
+        ).otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: conversion" + _CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(_CRLF),
+        F.lit("WARC-Date: "), d, F.lit(_CRLF),
+        F.lit("WARC-Record-ID: "), rec_id, F.lit(_CRLF),
+        F.lit("WARC-Refers-To: "), refers, F.lit(_CRLF),
+        lang_hdr,
+        F.lit("WARC-Block-Digest: sha256:"), F.sha2(t, 256), F.lit(_CRLF),
+        F.lit("Content-Type: text/plain" + _CRLF),
+        F.lit("Content-Length: "), F.octet_length(t).cast("string"),
+        F.lit(_CRLF + _CRLF),
+        t,
+        F.lit(_CRLF + _CRLF),
+    )
+
+
+def wet_warcinfo_record(filename: str, date_iso: str) -> bytes:
+    """The warcinfo record that heads each WET segment file."""
+    body = (
+        "software: webxtract\r\n"
+        "format: WARC File Format 1.0\r\n"
+        f"extractedDate: {date_iso}\r\n"
+    ).encode("utf-8")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        f"WARC-Record-ID: {_det_record_id('warcinfo:' + filename, date_iso)}\r\n"
+        f"WARC-Date: {date_iso}\r\n"
+        f"WARC-Filename: {filename}\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + body + _CRLF2
+
+
+def write_wet_segments(
+    df: DataFrame, out_dir: str, run_date_iso: str, prefix: str = "seg"
+) -> DataFrame:
+    """Distributed WET sink: each task serializes its partition of
+    ``wet_record`` strings into one ``{prefix}-{pid:05d}.warc.wet.gz``
+    of per-record gzip members (mtime=0 — segment bytes are a pure
+    function of partition content), headed by a warcinfo record.
+    Returns the manifest (wet_file, n_records, n_bytes) — the action
+    that drives the write, one row per segment file.
+
+    Scale: the writer is ``mapInPandas`` over only the record column,
+    so upstream partitioning (e.g. the pipeline's (host, shard) salt)
+    directly controls segment sizing; no shuffle is added here."""
+    import os
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    schema = "wet_file string, n_records long, n_bytes long"
+
+    def write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        name = f"{prefix}-{pid:05d}.warc.wet.gz"
+        path = os.path.join(out_dir, name)
+        fh = None
+        n = 0
+        for pdf in batches:
+            if fh is None:
+                os.makedirs(out_dir, exist_ok=True)
+                fh = open(path, "wb")
+                fh.write(
+                    gzip.compress(wet_warcinfo_record(name, run_date_iso), mtime=0)
+                )
+            for rec in pdf["wet_record"]:
+                fh.write(gzip.compress(rec.encode("utf-8"), mtime=0))
+                n += 1
+        if fh is None:
+            yield pd.DataFrame(
+                [], columns=["wet_file", "n_records", "n_bytes"]
+            ).astype({"n_records": "int64", "n_bytes": "int64"})
+            return
+        fh.close()
+        yield pd.DataFrame(
+            [(name, n, os.path.getsize(path))],
+            columns=["wet_file", "n_records", "n_bytes"],
+        )
+
+    return df.select("wet_record").mapInPandas(write, schema=schema)
+
+
 def warc_revisit_record(
     url: str,
     date_iso: str,
