@@ -204,6 +204,7 @@ def main() -> None:
         ("pagerank_hosts", contract.q_pagerank_hosts),
         ("extraction_eval", contract.q_extraction_eval),
         ("c4_clean", contract.q_c4_clean),
+        ("fix_mojibake", contract.q_fix_mojibake),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

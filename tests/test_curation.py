@@ -532,3 +532,37 @@ def test_c4_clean_hand_computed(spark):
         and out[5]["cleaned_text"] == ""
         and out[5]["c4_keep"] is False
     )
+
+
+def test_fix_mojibake_hand_computed(spark):
+    """The repair chain restores a genuinely double-decoded string:
+    corrupt = intended.encode('utf-8').decode('cp1252') for a sentence
+    covering quotes/dashes/ellipsis/accents/symbols; NULL repairs to
+    ''; clean ASCII passes through unflagged."""
+    from pyspark.sql import functions as F
+
+    from webxtract.curation import fix_mojibake_exprs
+
+    # no closing double quote: its UTF-8 encoding contains 0x9d, which
+    # cp1252 cannot decode — the exact class MOJIBAKE_PAIRS excludes.
+    intended = (
+        "Café — it’s “great… "
+        "25°C «ñoño» à lève"
+    )
+    corrupt = intended.encode("utf-8").decode("cp1252")
+    assert corrupt != intended
+    rows = [(1, corrupt), (2, "plain ascii stays"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    e = fix_mojibake_exprs(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in e.items()]
+        ).collect()
+    }
+    assert out[1]["fixed_text"] == intended
+    assert out[1]["had_mojibake"] is True
+    assert out[1]["chars_saved"] == len(corrupt) - len(intended)
+    assert out[2]["fixed_text"] == "plain ascii stays"
+    assert out[2]["had_mojibake"] is False and out[2]["chars_saved"] == 0
+    assert out[3]["fixed_text"] == "" and out[3]["had_mojibake"] is False

@@ -328,3 +328,14 @@ def test_wet_records_is_narrow(spark):
     assert _nodes(plan, "Exchange") == 1
     assert "Join" not in plan and "Generate" not in plan
     assert "Python" not in plan
+
+
+def test_fix_mojibake_is_narrow(spark):
+    """The repair chain is one narrow projection: zero joins/explodes/
+    Python; the only exchange is the output orderBy."""
+    from webxtract.contract import q_fix_mojibake
+
+    plan = _plan(q_fix_mojibake(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") == 1
+    assert "Join" not in plan and "Generate" not in plan
+    assert "Python" not in plan

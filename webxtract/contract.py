@@ -965,6 +965,29 @@ def q_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair over a deterministically corrupted
+    corpus: every third document gets the full MOJIBAKE_PAIRS sequence
+    set appended (space-joined), so the repair chain, the flag, and the
+    per-row chars_saved count are all exercised; the oracle rebuilds
+    the identical corruption and replace chain from the same table."""
+    from webxtract.curation import MOJIBAKE_PAIRS, fix_mojibake_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    planted = " ".join(b for b, _ in MOJIBAKE_PAIRS)
+    base = F.coalesce(F.col("text"), F.lit(""))
+    corrupt = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(base, F.lit(" " + planted))
+    ).otherwise(base)
+    e = fix_mojibake_exprs(corrupt)
+    return d.select(
+        "doc_id",
+        e["had_mojibake"].alias("had_mojibake"),
+        e["chars_saved"].alias("chars_saved"),
+        F.md5(e["fixed_text"].cast("binary")).alias("fixed_md5"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------ substring-level dedup
 
 

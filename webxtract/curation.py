@@ -815,3 +815,61 @@ def c4_clean_exprs(text: Column) -> dict[str, Column]:
         "has_curly_brace": has_brace,
         "c4_keep": (n_kept >= 3) & ~has_lorem & ~has_brace,
     }
+
+
+# ftfy-style mojibake repair: the canonical web-text corruption is
+# UTF-8 bytes decoded once too often as cp1252/latin-1 ("Ã©"
+# for "é", "â€™" for a right single quote). Real
+# pipelines run ftfy over every crawl; this is the deterministic
+# expression-chain subset covering the dominant sequences — curly
+# quotes / dashes / ellipsis / bullet (3-char "â€?" family)
+# and the Latin-1 accented block + symbols (2-char "Ã?" /
+# "Â?" families) — ordered longest-first so a 3-char fix wins
+# before any 2-char prefix of it. Sequences whose second decode hits an
+# unmappable C1 byte (0x9d, 0x9f) are excluded: cp1252 cannot produce
+# them, so they surface as U+FFFD and are not repairable by substring
+# rules. Each entry is (mojibake, intended).
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    ("â€™", "’"),  # right single quote
+    ("â€˜", "‘"),  # left single quote
+    ("â€œ", "“"),  # left double quote
+    ("â€“", "–"),  # en dash
+    ("â€”", "—"),  # em dash
+    ("â€¦", "…"),  # ellipsis
+    ("â€¢", "•"),  # bullet
+    ("Ã©", "é"),  # e acute
+    ("Ã¨", "è"),  # e grave
+    ("Ã¡", "á"),  # a acute
+    ("Ã ", "à"),  # a grave
+    ("Ã­", "í"),  # i acute
+    ("Ã³", "ó"),  # o acute
+    ("Ãº", "ú"),  # u acute
+    ("Ã±", "ñ"),  # n tilde
+    ("Ã§", "ç"),  # c cedilla
+    ("Ã¼", "ü"),  # u umlaut
+    ("Ã¶", "ö"),  # o umlaut
+    ("Ã¤", "ä"),  # a umlaut
+    ("Â«", "«"),  # left guillemet
+    ("Â»", "»"),  # right guillemet
+    ("Â°", "°"),  # degree sign
+    ("Â ", " "),  # nbsp
+]
+
+
+def fix_mojibake_exprs(text: Column) -> dict[str, Column]:
+    """Repair the MOJIBAKE_PAIRS sequences via a sequential literal
+    replace chain — pure JVM string ops, zero shuffles/Python, so the
+    repair is a narrow map over the whole crawl (same plan shape as
+    redact_pii_expr). NULL text repairs to ''. Returns the fixed text,
+    a had_mojibake flag, and chars_saved (each 2-3-char sequence
+    collapses to one intended char, so the length delta counts repaired
+    sequences exactly; pairs never overlap post-ordering)."""
+    t = F.coalesce(text, F.lit(""))
+    fixed = t
+    for bad, good in MOJIBAKE_PAIRS:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return {
+        "fixed_text": fixed,
+        "had_mojibake": F.length(t) != F.length(fixed),
+        "chars_saved": (F.length(t) - F.length(fixed)).cast("long"),
+    }

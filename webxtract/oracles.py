@@ -1869,3 +1869,39 @@ SELECT doc_id, content_length,
 FROM rec
 ORDER BY doc_id
 """
+
+
+# contract.q_fix_mojibake twin: the corruption AND the repair chain are
+# generated from the same MOJIBAKE_PAIRS table the engine uses, so the
+# two sides cannot drift.
+def _mojibake_sql() -> str:
+    from webxtract.curation import MOJIBAKE_PAIRS
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    planted = " ".join(b for b, _ in MOJIBAKE_PAIRS)
+    fixed = "t"
+    for bad, good in MOJIBAKE_PAIRS:
+        fixed = f"replace({fixed}, {q(bad)}, {q(good)})"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN coalesce(text, '') || ' ' || {q(planted)}
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+),
+fx AS (
+  SELECT doc_id, t, {fixed} AS fixed FROM base
+)
+SELECT doc_id,
+       length(t) <> length(fixed) AS had_mojibake,
+       CAST(length(t) - length(fixed) AS BIGINT) AS chars_saved,
+       md5(fixed) AS fixed_md5
+FROM fx
+ORDER BY doc_id
+"""
+
+
+ORACLES["fix_mojibake"] = _mojibake_sql()
