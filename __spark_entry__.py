@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_eval": wrap(c.q_extraction_eval),
         "c4_clean": wrap(c.q_c4_clean),
         "fix_mojibake": wrap(c.q_fix_mojibake),
+        "postings": wrap(c.q_postings),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

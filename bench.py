@@ -205,6 +205,7 @@ def main() -> None:
         ("extraction_eval", contract.q_extraction_eval),
         ("c4_clean", contract.q_c4_clean),
         ("fix_mojibake", contract.q_fix_mojibake),
+        ("postings", contract.q_postings),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

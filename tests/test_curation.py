@@ -566,3 +566,33 @@ def test_fix_mojibake_hand_computed(spark):
     assert out[2]["fixed_text"] == "plain ascii stays"
     assert out[2]["had_mojibake"] is False and out[2]["chars_saved"] == 0
     assert out[3]["fixed_text"] == "" and out[3]["had_mojibake"] is False
+
+
+def test_build_postings_skewed_hot_term(spark):
+    """Two-phase (salted) top-k equals the brute-force single-window
+    answer on a corpus with a planted hot term in every document, and
+    df/total_tf come from uncapped counts (df = all docs even when only
+    top-2 postings are kept)."""
+    from pyspark.sql import functions as F
+
+    from webxtract.textops import build_postings
+
+    # doc i: 'hot' appears (i % 5 + 1) times, 'rare-i' once for even i
+    rows = [
+        (i, " ".join(["hot"] * (i % 5 + 1))
+            + (f" rare{i}" if i % 2 == 0 else ""))
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_postings(df, max_postings=2, min_df=1, n_salts=4)
+    got = {
+        (r.term, r.rank): (r.df, r.total_tf, r.doc_id, r.tf)
+        for r in out.collect()
+    }
+    # brute force for 'hot': tf=5 for doc_id%5==4 -> docs 4, 9 lead
+    assert got[("hot", 1)] == (40, sum(i % 5 + 1 for i in range(1, 41)), 4, 5)
+    assert got[("hot", 2)][2:] == (9, 5)
+    assert got[("hot", 2)][0] == 40  # df uncapped by the top-2 keep
+    # a rare term: single posting, rank 1
+    assert got[("rare2", 1)] == (1, 1, 2, 1)
+    assert ("hot", 3) not in got

@@ -339,3 +339,16 @@ def test_fix_mojibake_is_narrow(spark):
     assert _nodes(plan, "Exchange") == 1
     assert "Join" not in plan and "Generate" not in plan
     assert "Python" not in plan
+
+
+def test_postings_plan_bounded(spark):
+    """Postings build: no cartesian/broadcast-nested-loop, no Python,
+    and a bounded exchange count (tf agg, salt window, term window,
+    stats agg, join, output sort)."""
+    from webxtract.contract import q_postings
+
+    plan = _plan(q_postings(spark, TESTDATA))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert _nodes(plan, "Exchange") <= 6

@@ -965,6 +965,19 @@ def q_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index postings over the documents table: terms with
+    df >= 5, top-3 postings per term ranked (tf DESC, doc_id), with
+    term-level df / total_tf from the uncapped counts. Flat rows (one
+    per term+rank) keep the cross-engine hash type-stable."""
+    from webxtract.textops import build_postings
+
+    d = _t(spark, sf_dir, "documents")
+    return build_postings(
+        d, max_postings=3, min_df=5, n_salts=4
+    ).orderBy("term", "rank")
+
+
 def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-style mojibake repair over a deterministically corrupted
     corpus: every third document gets the full MOJIBAKE_PAIRS sequence

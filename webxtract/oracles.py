@@ -1905,3 +1905,35 @@ ORDER BY doc_id
 
 
 ORACLES["fix_mojibake"] = _mojibake_sql()
+
+
+# contract.q_postings twin: same analyzer (lowercased alphanumeric
+# split), same (tf DESC, doc_id) ranking; the oracle needs no salting —
+# phase-1 pruning keeps a superset of the global top-k, so results are
+# identical by construction.
+ORACLES["postings"] = """
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM documents,
+       unnest(list_filter(
+         regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                               '[^a-z0-9]+'),
+         t -> t <> '')) AS u(tok)
+),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS total_tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rank
+  FROM tf
+)
+SELECT term, df, total_tf, CAST(rank AS INTEGER) AS rank, doc_id, tf
+FROM ranked
+WHERE rank <= 3 AND df >= 5
+ORDER BY term, rank
+"""

@@ -635,3 +635,62 @@ def extraction_eval(
             F.when(iv > 0, F.round(f1_raw, 6)).otherwise(F.lit(0.0)),
         ).alias("f1"),
     )
+
+
+def build_postings(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 100,
+    min_df: int = 1,
+    n_salts: int = 16,
+) -> "DataFrame":  # noqa: F821
+    """Inverted-index postings build — the searchable product a crawl
+    extraction tier feeds to Lucene-class systems. One output row per
+    retained (term, rank): term-level stats (document frequency df,
+    corpus total_tf) plus the posting (doc_id, tf), where rank orders
+    postings by (tf DESC, doc_id) and only the top `max_postings` per
+    term are kept (impact-ordered index truncation).
+
+    Tokenization is `eval_tokens_expr` (lowercased alphanumeric) — the
+    same analyzer as extraction-quality scoring.
+
+    Scale shape / skew: per-(term, doc) tf is a partial-aggregated
+    groupBy, safe for stop-words. The top-k per term is TWO-PHASE so a
+    hot term never lands its whole posting list in one window
+    partition: phase 1 ranks within (term, salt = doc hash % n_salts)
+    and keeps `max_postings` per salt — a superset of the global top-k
+    by the same ordering — bounding the final per-term partition at
+    n_salts * max_postings rows; phase 2 ranks the pruned candidates.
+    Term stats (df, total_tf) come from their own partial-aggregated
+    reduce over the UNCAPPED tf frame, so truncation never skews df.
+    Payloads everywhere are (term, id, counts) — text never shuffles.
+    """
+    from pyspark.sql import Window
+
+    toks = eval_tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w_salt = Window.partitionBy("term", salt).orderBy(
+        F.desc("tf"), F.col(id_col)
+    )
+    cand = tf.withColumn("__r", F.row_number().over(w_salt)).where(
+        F.col("__r") <= max_postings
+    )
+    w_term = Window.partitionBy("term").orderBy(F.desc("tf"), F.col(id_col))
+    ranked = cand.withColumn("rank", F.row_number().over(w_term)).where(
+        F.col("rank") <= max_postings
+    )
+    return (
+        ranked.join(stats, "term")
+        .where(F.col("df") >= min_df)
+        .select("term", "df", "total_tf", "rank", F.col(id_col), "tf")
+    )
