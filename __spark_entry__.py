@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": wrap(c.q_c4_clean),
         "fix_mojibake": wrap(c.q_fix_mojibake),
         "postings": wrap(c.q_postings),
+        "dedup_keep_best": wrap(c.q_dedup_keep_best),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

@@ -206,6 +206,7 @@ def main() -> None:
         ("c4_clean", contract.q_c4_clean),
         ("fix_mojibake", contract.q_fix_mojibake),
         ("postings", contract.q_postings),
+        ("dedup_keep_best", contract.q_dedup_keep_best),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

@@ -596,3 +596,29 @@ def test_build_postings_skewed_hot_term(spark):
     # a rare term: single posting, rank 1
     assert got[("rare2", 1)] == (1, 1, 2, 1)
     assert ("hot", 3) not in got
+
+
+def test_dedup_keep_best_hand_computed(spark):
+    """Keep-best semantics on a hand-built pair graph: the
+    highest-score member wins its cluster (not the first/lowest id),
+    score ties break to the lowest id, singletons keep themselves, and
+    every dropped member's kept_id points at its representative."""
+    from webxtract.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa"), (2, "aaaa"), (3, "aaa"),   # cluster {1,2,3}: 2 wins
+            (4, "bb"), (5, "bb"),                  # cluster {4,5}: tie -> 4
+            (9, "solo"),                           # singleton
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    got = {r.id: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert [got[i].keep for i in (1, 2, 3)] == [False, True, False]
+    assert all(got[i].kept_id == 2 and got[i].component == 1 for i in (1, 2, 3))
+    assert got[4].keep is True and got[5].keep is False
+    assert got[5].kept_id == 4
+    assert got[9].keep is True and got[9].kept_id == 9 and got[9].component == 9

@@ -568,6 +568,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(pairs).orderBy("id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection over the same planted-copy
+    simhash pair graph as q_dedup_components, with score =
+    char-length(text): each {original, +' zzz' copy} cluster keeps the
+    longer copy; docs outside any pair keep themselves as singletons;
+    the oracle extends the recursive-CTE closure with the identical
+    window ranking."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    near = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(near)
+    pairs = dedup.simhash_near_dup_pairs(both, max_hamming=3)
+    return dedup.dedup_keep_best(both, pairs).orderBy("id")
+
+
 def _synthetic_url_expr() -> F.Column:
     """Deterministic per-doc_id URL with 4 modulo classes: mixed-case
     scheme/host, default ports, fragments and tracking params — shared

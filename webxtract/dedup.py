@@ -697,3 +697,55 @@ def dedup_chunks(
         )
     )
     return rebuilt
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score: Column | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster-representative selection — the step every fuzzy-dedup
+    pipeline runs after its pair generator: resolve near-dup pairs to
+    connected components, then keep exactly ONE member per cluster —
+    the highest-`score` document (ties break to the lowest id), the
+    "keep best, not first" policy quality-aware pipelines use instead
+    of arbitrary keep-first. Documents in no pair are their own
+    singleton cluster and always keep themselves.
+
+    Returns (id, component, keep, kept_id): `keep` marks the
+    representative and `kept_id` points every dropped member at the doc
+    that replaces it (the redirect map for provenance/audit).
+
+    Scale shape: components carry two bigints per row (see
+    dedup_components); the representative choice is one window over
+    `component` whose rows are (id, score, component) only — `score` is
+    computed BEFORE the join so document text never shuffles. Cluster
+    sizes are candidate-pair bounded (the upstream generators cap
+    bucket fan-out), so the per-component window partition stays small
+    by construction."""
+    from pyspark.sql import Window
+
+    comp = dedup_components(
+        pairs, a_col=a_col, b_col=b_col, max_iterations=max_iterations
+    )
+    s = score if score is not None else F.length("text")
+    base = docs.select(F.col(id_col).alias("id"), s.alias("__score"))
+    j = base.join(comp, "id", "left").select(
+        "id",
+        "__score",
+        F.coalesce("component", F.col("id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("__score"), F.col("id"))
+    ranked = j.select(
+        "id",
+        "component",
+        F.row_number().over(w).alias("__rn"),
+        F.first("id").over(w).alias("kept_id"),
+    )
+    return ranked.select(
+        "id", "component", (F.col("__rn") == 1).alias("keep"), "kept_id"
+    )

@@ -1937,3 +1937,67 @@ FROM ranked
 WHERE rank <= 3 AND df >= 5
 ORDER BY term, rank
 """
+
+
+def _keep_best_sql() -> str:
+    """Twin of q_dedup_keep_best: the _components_sql closure plus a
+    LEFT JOIN back to all docs (singletons self-label) and the same
+    (score DESC, id) representative window."""
+    simhash = """
+  SELECT doc_id,
+    (list_sum(list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(th,
+             h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
+           THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS simhash
+  FROM t
+"""
+    h = _H60.format(s="tk")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id < 150
+),
+t AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                   tk -> {h}) AS th
+  FROM docs
+),
+sh AS ({simhash}),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT d.doc_id AS id, length(d.text) AS sc,
+         coalesce(c.component, d.doc_id) AS component
+  FROM docs d LEFT JOIN comp c ON c.id = d.doc_id
+),
+ranked AS (
+  SELECT id, component,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY sc DESC, id) AS rn,
+         first_value(id) OVER (PARTITION BY component
+                               ORDER BY sc DESC, id) AS kept_id
+  FROM scored
+)
+SELECT id, component, rn = 1 AS keep, kept_id
+FROM ranked ORDER BY id
+"""
+
+
+ORACLES["dedup_keep_best"] = _keep_best_sql()
