@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": wrap(c.q_fix_mojibake),
         "postings": wrap(c.q_postings),
         "dedup_keep_best": wrap(c.q_dedup_keep_best),
+        "tag_topics": wrap(c.q_tag_topics),
+        "value_percentiles": wrap(c.q_value_percentiles),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),

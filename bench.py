@@ -207,6 +207,8 @@ def main() -> None:
         ("fix_mojibake", contract.q_fix_mojibake),
         ("postings", contract.q_postings),
         ("dedup_keep_best", contract.q_dedup_keep_best),
+        ("tag_topics", contract.q_tag_topics),
+        ("value_percentiles", contract.q_value_percentiles),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

@@ -622,3 +622,50 @@ def test_dedup_keep_best_hand_computed(spark):
     assert got[4].keep is True and got[5].keep is False
     assert got[5].kept_id == 4
     assert got[9].keep is True and got[9].kept_id == 9 and got[9].component == 9
+
+
+def test_tag_topics_hand_computed(spark):
+    """Known keyword counts per topic; ties go to the earlier taxonomy
+    entry; no hits and NULL text tag 'other'."""
+    from webxtract.curation import tag_topics_exprs
+
+    rows = [
+        (1, "The startup software uses an algorithm. Great software."),
+        # one tech keyword and one sports keyword -> tie; 'technology'
+        # precedes 'sports' in TOPIC_TAXONOMY
+        (2, "the software championship"),
+        (3, "nothing topical here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    e = tag_topics_exprs(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in e.items()]
+        ).collect()
+    }
+    # keyword hits counted per keyword (startup, software, algorithm),
+    # not per occurrence (software twice still counts once)
+    assert out[1]["n_technology"] == 3 and out[1]["topic"] == "technology"
+    assert out[2]["n_technology"] == 1 and out[2]["n_sports"] == 1
+    assert out[2]["topic"] == "technology"
+    assert out[3]["topic"] == "other" and out[4]["topic"] == "other"
+
+
+def test_value_percentiles_hand_computed(spark):
+    """Histogram-based percent_rank equals the SQL definition on a
+    hand frame with ties; NULL values drop; a 1-row corpus ranks 0."""
+    from webxtract.curation import value_percentiles
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 30), (5, None)],
+        "doc_id long, v int",
+    )
+    got = {
+        r.doc_id: r.pct_rank
+        for r in value_percentiles(df, F.col("v")).collect()
+    }
+    assert got == {1: 0.0, 2: round(1 / 3, 9), 3: round(1 / 3, 9), 4: 1.0}
+    one = spark.createDataFrame([(1, 5)], "doc_id long, v int")
+    assert value_percentiles(one, F.col("v")).collect()[0].pct_rank == 0.0

@@ -352,3 +352,32 @@ def test_postings_plan_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
     assert _nodes(plan, "Exchange") <= 6
+
+
+def test_tag_topics_is_narrow(spark):
+    """Topic tagging is one narrow projection (lit-array exists, no
+    rule-table join): zero joins/explodes/Python, one output-sort
+    exchange."""
+    from webxtract.contract import q_tag_topics
+
+    plan = _plan(q_tag_topics(spark, TESTDATA))
+    assert _nodes(plan, "Exchange") == 1
+    assert "Join" not in plan and "Generate" not in plan
+    assert "Python" not in plan
+
+
+def test_value_percentiles_window_over_histogram(spark):
+    """The ordered window runs over the value HISTOGRAM: exactly one
+    Window node, fed by an aggregate (the groupBy(value) reduce), and
+    the doc-side join is a broadcast — never a row-level global sort
+    of the corpus."""
+    from webxtract.contract import q_value_percentiles
+
+    plan = _plan(q_value_percentiles(spark, TESTDATA))
+    assert _nodes(plan, "Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the window's running sum is over the histogram COUNT column, not
+    # raw document rows — the proof it scales with value cardinality
+    assert re.search(r"sum\(__c", plan)
+    assert _nodes(plan, "HashAggregate") >= 1

@@ -585,6 +585,43 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_best(both, pairs).orderBy("id")
 
 
+def q_tag_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-taxonomy topic tagging over documents with planted
+    topic sentences (doc_id%5 selects tech/sports/food/health/none),
+    so hit counts and the first-wins argmax are all exercised; the
+    oracle generates the same counts and CASE-argmax from the same
+    TOPIC_TAXONOMY table."""
+    from webxtract.curation import tag_topics_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    planted = (
+        F.when(m == 0, F.lit(
+            " The startup shipped new software with a clever algorithm."))
+        .when(m == 1, F.lit(
+            " The championship playoff had every athlete and coach ready."))
+        .when(m == 2, F.lit(
+            " A recipe with one secret ingredient from the restaurant."))
+        .when(m == 3, F.lit(
+            " Symptom diagnosis and treatment for the patient."))
+        .otherwise(F.lit(""))
+    )
+    e = tag_topics_exprs(F.concat(F.coalesce("text", F.lit("")), planted))
+    return d.select(
+        "doc_id", *[v.alias(k) for k, v in e.items()]
+    ).orderBy("doc_id")
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus percent_rank of n_chars, computed over the value
+    histogram (scale-safe) and checked against DuckDB's row-level
+    percent_rank window — equal by construction for every tie class."""
+    from webxtract.curation import value_percentiles
+
+    d = _t(spark, sf_dir, "documents")
+    return value_percentiles(d, F.col("n_chars")).orderBy("doc_id")
+
+
 def _synthetic_url_expr() -> F.Column:
     """Deterministic per-doc_id URL with 4 modulo classes: mixed-case
     scheme/host, default ports, fragments and tracking params — shared

@@ -873,3 +873,114 @@ def fix_mojibake_exprs(text: Column) -> dict[str, Column]:
         "had_mojibake": F.length(t) != F.length(fixed),
         "chars_saved": (F.length(t) - F.length(fixed)).cast("long"),
     }
+
+
+# Keyword-taxonomy topic tagging: the cheap domain/topic router used to
+# curate training mixtures (tag a crawl page news/tech/health/... so
+# mixture weights can be set per topic). Same expression machinery as
+# the reference's D2 keyword flags (document_type_detector.py:267-281)
+# generalized to an arbitrary taxonomy: per-topic hit count over a
+# literal keyword array, argmax with first-wins tie-break in taxonomy
+# order, 'other' when nothing matches.
+TOPIC_TAXONOMY: dict[str, tuple[str, ...]] = {
+    "news": ("breaking news", "reported", "journalist", "press release",
+             "correspondent", "editorial"),
+    "technology": ("software", "hardware", "startup", "algorithm",
+                   "programming", "artificial intelligence", "gadget"),
+    "sports": ("championship", "tournament", "league", "playoff",
+               "scored", "athlete", "coach"),
+    "health": ("symptom", "diagnosis", "treatment", "clinical",
+               "patient", "wellness", "nutrition"),
+    "finance": ("stock market", "investor", "interest rate", "earnings",
+                "portfolio", "inflation", "dividend"),
+    "travel": ("itinerary", "destination", "tourist", "airfare",
+               "sightseeing", "hotel"),
+    "food": ("recipe", "ingredient", "delicious", "restaurant",
+             "cuisine", "baking"),
+    "science": ("experiment", "hypothesis", "researcher", "laboratory",
+                "peer-reviewed", "physics", "biology"),
+}
+
+
+def tag_topics_exprs(
+    text: Column, taxonomy: dict[str, tuple[str, ...]] | None = None
+) -> dict[str, Column]:
+    """Per-topic keyword hit counts plus the argmax topic. Pure
+    per-row expressions over constant-folded literal arrays — zero
+    shuffles/joins/Python, the same measured-cheaper form the
+    type-detection rule layer uses (lit-array + exists beats a
+    broadcast join at this table width). Hit = substring containment
+    on lowercased text, counted per keyword (not per occurrence).
+    NULL text counts zero everywhere and tags 'other'."""
+    tax = taxonomy or TOPIC_TAXONOMY
+    t = F.lower(F.coalesce(text, F.lit("")))
+    counts = {
+        topic: F.size(
+            F.filter(
+                F.array(*[F.lit(k) for k in kws]),
+                lambda kw: t.contains(kw),
+            )
+        )
+        for topic, kws in tax.items()
+    }
+    out: dict[str, Column] = {
+        f"n_{topic}": c.cast("long") for topic, c in counts.items()
+    }
+    topic = F.lit("other")
+    best = F.lit(0)
+    # first-wins strict-greater: iterate REVERSED so earlier taxonomy
+    # entries win ties (same pattern as script_signals' dominant pick)
+    for name in reversed(list(tax)):
+        c = counts[name]
+        topic = F.when((c > 0) & (c >= best), F.lit(name)).otherwise(topic)
+        best = F.when((c > 0) & (c >= best), c).otherwise(best)
+    out["topic"] = topic
+    return out
+
+
+def value_percentiles(
+    df: DataFrame, value: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact corpus percent_rank of a per-document value (the relative
+    quality/length thresholding primitive: 'drop the bottom 5% by
+    length' without hand-picking absolute cutoffs).
+
+    Scale shape: a naive ``percent_rank() OVER (ORDER BY v)`` is a
+    single-partition window over every document — the one window shape
+    that cannot scale. Here the window runs over the VALUE HISTOGRAM
+    instead: groupBy(value) (partial-aggregated), one ordered window
+    over |distinct values| rows (bounded by value cardinality, e.g.
+    ~10^4 for integer lengths, regardless of corpus size), then a
+    broadcast join back onto documents. Result is IDENTICAL to SQL
+    percent_rank — (count of docs with smaller value) / (N-1) — for
+    every document sharing a value (ties share a rank). NULL values
+    are excluded (no rank), matching the oracle's WHERE filter."""
+    v = value.alias("__v")
+    base = df.select(F.col(id_col), v).where(F.col("__v").isNotNull())
+    hist = base.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        "__v",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__below"),
+    )
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ranked.crossJoin(F.broadcast(n)).select(
+        "__v",
+        F.when(
+            F.col("__n") > 1,
+            F.col("__below").cast("double")
+            / (F.col("__n") - F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+    )
+    return base.join(F.broadcast(ranked), "__v").select(
+        id_col,
+        F.col("__v").alias("value"),
+        F.round("pct_rank", 9).alias("pct_rank"),
+    )

@@ -2001,3 +2001,67 @@ FROM ranked ORDER BY id
 
 
 ORACLES["dedup_keep_best"] = _keep_best_sql()
+
+
+def _tag_topics_sql() -> str:
+    """Twin of q_tag_topics: counts and the first-wins CASE argmax are
+    generated from the engine's own TOPIC_TAXONOMY, so keyword tables
+    cannot drift."""
+    from webxtract.curation import TOPIC_TAXONOMY
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    cnt_cols = []
+    for topic, kws in TOPIC_TAXONOMY.items():
+        arr = ", ".join(q(k) for k in kws)
+        cnt_cols.append(
+            f"CAST(len(list_filter([{arr}], kw -> contains(t, kw)))"
+            f" AS BIGINT) AS n_{topic}"
+        )
+    names = list(TOPIC_TAXONOMY)
+    g = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    whens = "\n              ".join(
+        f"WHEN n_{n} = {g} THEN '{n}'" for n in names
+    )
+    cnts = ",\n         ".join(cnt_cols)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         lower(coalesce(text, '') ||
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN ' The startup shipped new software with a clever algorithm.'
+             WHEN 1 THEN ' The championship playoff had every athlete and coach ready.'
+             WHEN 2 THEN ' A recipe with one secret ingredient from the restaurant.'
+             WHEN 3 THEN ' Symptom diagnosis and treatment for the patient.'
+             ELSE '' END) AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         {cnts}
+  FROM base
+)
+SELECT doc_id, {', '.join('n_' + n for n in names)},
+       CASE WHEN {g} = 0 THEN 'other'
+            ELSE CASE {whens}
+              END END AS topic
+FROM c
+ORDER BY doc_id
+"""
+
+
+ORACLES["tag_topics"] = _tag_topics_sql()
+
+
+# contract.q_value_percentiles twin: DuckDB's row-level percent_rank is
+# exactly (count of strictly smaller)/(N-1) — the quantity the engine
+# computes from the value histogram.
+ORACLES["value_percentiles"] = """
+SELECT doc_id,
+       n_chars AS value,
+       round(percent_rank() OVER (ORDER BY n_chars), 9) AS pct_rank
+FROM documents
+WHERE n_chars IS NOT NULL
+ORDER BY doc_id
+"""
