@@ -669,3 +669,41 @@ def test_value_percentiles_hand_computed(spark):
     assert got == {1: 0.0, 2: round(1 / 3, 9), 3: round(1 / 3, 9), 4: 1.0}
     one = spark.createDataFrame([(1, 5)], "doc_id long, v int")
     assert value_percentiles(one, F.col("v")).collect()[0].pct_rank == 0.0
+
+
+def test_host_cap_sample_hand_computed(spark):
+    """Cap 2 per host, order by score DESC then id: the hot host keeps
+    its two best rows; a host under the cap keeps everything; ranks
+    are 1-based per host. n_salts=1 and 8 must agree (the salted
+    phase-1 prune is a superset of the global top-cap)."""
+    from webxtract.curation import host_cap_sample
+
+    rows = [
+        (1, "a.com", 10), (2, "a.com", 30), (3, "a.com", 20),
+        (4, "a.com", 30),  # ties with 2 -> id 2 wins rank 1
+        (5, "b.org", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, score int")
+    for salts in (1, 8):
+        got = {
+            r.doc_id: r.host_rank
+            for r in host_cap_sample(
+                df, cap=2, order_col="score", n_salts=salts
+            ).collect()
+        }
+        assert got == {2: 1, 4: 2, 5: 1}
+
+
+def test_host_cap_sample_hot_host_bounded(spark):
+    """A 400-row host with cap 3, n_salts 4: phase 1 leaves at most
+    n_salts*cap = 12 candidate rows per host for the final window, and
+    the global top-3 survives exactly."""
+    from webxtract.curation import host_cap_sample
+
+    rows = [(i, "hot.example", i % 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, score int")
+    got = host_cap_sample(df, cap=3, order_col="score", n_salts=4).collect()
+    # best score 99 occurs at ids 99, 199, 299, 399 -> lowest 3 ids win
+    assert sorted((r.doc_id, r.host_rank) for r in got) == [
+        (99, 1), (199, 2), (299, 3)
+    ]

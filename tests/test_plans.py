@@ -381,3 +381,19 @@ def test_value_percentiles_window_over_histogram(spark):
     # raw document rows — the proof it scales with value cardinality
     assert re.search(r"sum\(__c", plan)
     assert _nodes(plan, "HashAggregate") >= 1
+
+
+def test_host_cap_sample_two_phase_windows(spark):
+    """The per-host cap ranks in TWO window phases (salted then final)
+    so a hot host never collapses into one window partition — two
+    Window nodes, no join, no Python."""
+    from webxtract.contract import q_host_cap_sample
+
+    plan = _plan(q_host_cap_sample(spark, TESTDATA))
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2
+    # Spark's rank-limit pushdown kicks in on both phases: each window
+    # gets a Partial WindowGroupLimit BEFORE its exchange, so even the
+    # salted phase ships at most cap rows per (host, salt) group
+    assert _nodes(plan, "WindowGroupLimit") >= 2
+    assert "Join" not in plan
+    assert "Python" not in plan

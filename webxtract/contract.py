@@ -712,6 +712,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (anti-domination): keep the 20 longest
+    documents per synthetic-url host (ties by doc_id). The 4-host
+    modulo classes make every host exceed the cap at sf0.01, so both
+    ranking phases and the cut are exercised; the oracle is DuckDB's
+    row_number over the same (host, n_chars DESC, doc_id) order."""
+    from webxtract.curation import host_cap_sample, url_host_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        url_host_expr(_synthetic_url_expr()).alias("host"),
+    )
+    return host_cap_sample(d, cap=20, order_col="n_chars").orderBy("doc_id")
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: per-lang rates, content-hash keyed —
     stable across runs/partitionings by construction."""

@@ -984,3 +984,51 @@ def value_percentiles(
         F.col("__v").alias("value"),
         F.round("pct_rank", 9).alias("pct_rank"),
     )
+
+
+def host_cap_sample(
+    df: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-host document cap (the RefinedWeb/C4 anti-domination rule:
+    no single site contributes more than ``cap`` documents to the
+    training mix), keeping the best rows by ``order_col`` DESC with
+    ``id_col`` ASC as the deterministic tie-break; when ``order_col``
+    is None the cap keeps the lowest ids. Returns the surviving rows
+    plus their 1-based ``host_rank``.
+
+    Scale shape / skew: a bare row_number() over (PARTITION BY host)
+    puts a hot host's every row in ONE window partition — the classic
+    crawl-skew trap (a 10^8-page host = one straggler task). Ranking
+    is therefore TWO-PHASE, same pattern as build_postings: phase 1
+    ranks within (host, salt = xxhash64(id) % n_salts) and keeps
+    ``cap`` per salt — a superset of the global per-host top-cap under
+    the same total order — bounding phase 2's per-host partition at
+    n_salts * cap rows regardless of host size. Only (host, id, order,
+    salt) columns shuffle; full rows rejoin by id afterwards would be
+    an extra shuffle, so instead the frame carries its columns through
+    both windows (callers project first when rows are wide)."""
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if order_col is not None
+        else [F.col(id_col).asc()]
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*order)
+    pruned = (
+        df.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= cap)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        pruned.withColumn("host_rank", F.row_number().over(w2))
+        .where(F.col("host_rank") <= cap)
+        .withColumn("host_rank", F.col("host_rank").cast("long"))
+    )

@@ -2065,3 +2065,26 @@ FROM documents
 WHERE n_chars IS NOT NULL
 ORDER BY doc_id
 """
+
+
+# contract.q_host_cap_sample twin: same (host, n_chars DESC, doc_id)
+# total order, row_number cap at 20 — the two-phase salted ranking in
+# the engine is rank-equivalent to this single window by construction.
+ORACLES["host_cap_sample"] = f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url FROM documents
+),
+h AS (
+  SELECT doc_id, n_chars, {_HOST_SQL} AS host FROM u
+),
+r AS (
+  SELECT doc_id, n_chars, host,
+         CAST(row_number() OVER (
+           PARTITION BY host ORDER BY n_chars DESC, doc_id
+         ) AS BIGINT) AS host_rank
+  FROM h
+)
+SELECT doc_id, n_chars, host, host_rank
+FROM r WHERE host_rank <= 20
+ORDER BY doc_id
+"""
