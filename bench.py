@@ -209,6 +209,7 @@ def main() -> None:
         ("dedup_keep_best", contract.q_dedup_keep_best),
         ("tag_topics", contract.q_tag_topics),
         ("host_cap_sample", contract.q_host_cap_sample),
+        ("bpe_pairs", contract.q_bpe_pairs),
         ("value_percentiles", contract.q_value_percentiles),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)

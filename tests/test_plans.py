@@ -397,3 +397,16 @@ def test_host_cap_sample_two_phase_windows(spark):
     assert _nodes(plan, "WindowGroupLimit") >= 2
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_bpe_pairs_vocab_reduce_then_topk(spark):
+    """The corpus-wide shuffle is the word-frequency reduce (partial
+    agged); the pair explode runs over the DISTINCT vocab; top-k is
+    TakeOrderedAndProject, never a global sort; no joins, no Python."""
+    from webxtract.contract import q_bpe_pairs
+
+    plan = _plan(q_bpe_pairs(spark, TESTDATA))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Python" not in plan
+    assert _nodes(plan, "HashAggregate") >= 3  # partial+final x2 aggs
+    assert _nodes(plan, "Exchange") <= 2  # vocab reduce + pair reduce

@@ -712,6 +712,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE merge-pair counts over documents — the oracle runs
+    the same vocab reduce + per-word adjacent-char-pair unnest in
+    DuckDB; (count DESC, pair ASC) makes the LIMIT boundary total."""
+    from webxtract.textops import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_pair_counts(d, top_k=50)
+
+
 def q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document cap (anti-domination): keep the 20 longest
     documents per synthetic-url host (ties by doc_id). The 4-host

@@ -2088,3 +2088,32 @@ SELECT doc_id, n_chars, host, host_rank
 FROM r WHERE host_rank <= 20
 ORDER BY doc_id
 """
+
+
+# contract.q_bpe_pairs twin: identical analyzer (lowercased
+# alphanumeric split), vocab-frequency reduce, then adjacent char
+# pairs per distinct word weighted by word frequency. DuckDB range(1,
+# len) yields 1..len-1; substr is 1-based like Spark's.
+ORACLES["bpe_pairs"] = """
+WITH toks AS (
+  SELECT tok AS word
+  FROM documents,
+       unnest(list_filter(
+         regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                               '[^a-z0-9]+'),
+         t -> t <> '')) AS u(tok)
+),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM vocab, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY 1
+ORDER BY pair_count DESC, pair
+LIMIT 50
+"""

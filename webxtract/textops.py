@@ -694,3 +694,48 @@ def build_postings(
         .where(F.col("df") >= min_df)
         .select("term", "df", "total_tf", "rank", F.col(id_col), "tf")
     )
+
+
+def bpe_pair_counts(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> "DataFrame":  # noqa: F821
+    """The first BPE merge step of tokenizer induction: adjacent
+    character-pair frequencies over the corpus, weighted by word
+    frequency — the statistic a BPE/WordPiece trainer maximizes when
+    choosing its next merge. Returns the ``top_k`` (pair, pair_count)
+    rows under the total order (count DESC, pair ASC).
+
+    Scale shape: the ONLY corpus-wide shuffle is the word-frequency
+    reduce (partial-aggregated, (word, count) payloads — the same
+    profile as top_tokens). The pair explode then runs over the
+    DISTINCT vocabulary, whose size is bounded by language (~10^6-10^7
+    types) regardless of corpus row count, so the second aggregation's
+    cost is scale-INDEPENDENT: 100 TB of text and 100 GB of text do
+    the same pair work after the vocab reduce. Top-k is orderBy+limit
+    → TakeOrderedAndProject (per-partition heaps + driver merge),
+    never a full sort. Analyzer: eval_tokens_expr, shared with
+    extraction-quality scoring and the postings build."""
+    toks = eval_tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    vocab = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = vocab.where(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(top_k)
+    )
