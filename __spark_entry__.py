@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": wrap(c.q_value_percentiles),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
+        "kmeans_assign": wrap(c.q_kmeans_assign),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),
         "ann_multiprobe_topk": wrap(c.q_ann_multiprobe_topk),
         "embedding_near_dup": wrap(c.q_embedding_near_dup),

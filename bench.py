@@ -156,6 +156,7 @@ def main() -> None:
         ("script_signals", contract.q_script_signals),
         ("fingerprint", contract.q_fingerprint),
         ("cosine_topk", contract.q_cosine_topk),
+        ("kmeans_assign", contract.q_kmeans_assign),
         ("minhash_lsh_pairs", contract.q_minhash_lsh_pairs),
         ("simhash_groups", contract.q_simhash_groups),
         ("simhash_near_dup", contract.q_simhash_near_dup),

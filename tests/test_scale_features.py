@@ -668,3 +668,39 @@ def test_dedup_stream_cross_drop_and_restart(spark, tmp_path):
     q3 = start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
     q3.awaitTermination(300)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_kmeans_assign_hand_computed(spark):
+    """2 centroids in 2-d: (0,0) and (10,0). Points at (1,0) -> c0
+    dist2 1.0; (6,0) -> c1 dist2 16.0; (5,0) is equidistant (25.0) and
+    the tie goes to the LOWER centroid index."""
+    from webxtract.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [6.0, 0.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_assign(df, [[0.0, 0.0], [10.0, 0.0]]).collect()
+    }
+    assert got == {1: (0, 1.0), 2: (1, 16.0), 3: (0, 25.0)}
+
+
+def test_kmeans_assign_plan_is_narrow(spark):
+    """Assignment is one narrow projection: centroids are a literal,
+    so there is NO join, NO exchange, NO Python in the plan."""
+    import contextlib, io
+    from webxtract.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kmeans_assign(df, [[0.0, 0.0], [1.0, 1.0]]).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "Exchange" not in plan
+    # the input fixture scan is a PythonRDD; the OPERATOR must add no
+    # Python evaluation of its own
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -888,6 +888,24 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment pass: seeds = embeddings of the 8 lowest
+    vec_ids (k-row collect), cluster = seed index == seed vec_id here,
+    dist2 rounded 6dp; the oracle reproduces the same squared-L2
+    argmin with (dist2, cid) ordering in float64."""
+    seeds = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    return similarity.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), cents
+    ).orderBy("vec_id")
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs vec_id=0 (TakeOrderedAndProject —
     per-partition heaps, no global sort)."""

@@ -2117,3 +2117,30 @@ GROUP BY 1
 ORDER BY pair_count DESC, pair
 LIMIT 50
 """
+
+
+# contract.q_kmeans_assign twin: same seeds (vec_id < 8), same
+# float64 squared-L2 with 1..64 summation order, round 6dp BEFORE the
+# (dist2, cluster) argmin so both engines break float ties identically.
+ORACLES["kmeans_assign"] = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         round(list_sum(list_transform(range(1, 65),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+         )), 6) AS dist2
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cid) AS rn
+  FROM d
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2
+FROM r WHERE rn = 1
+ORDER BY vec_id
+"""
