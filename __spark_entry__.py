@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_topics": wrap(c.q_tag_topics),
         "host_cap_sample": wrap(c.q_host_cap_sample),
         "bpe_pairs": wrap(c.q_bpe_pairs),
+        "dsir_weights": wrap(c.q_dsir_weights),
         "value_percentiles": wrap(c.q_value_percentiles),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),

@@ -211,6 +211,7 @@ def main() -> None:
         ("tag_topics", contract.q_tag_topics),
         ("host_cap_sample", contract.q_host_cap_sample),
         ("bpe_pairs", contract.q_bpe_pairs),
+        ("dsir_weights", contract.q_dsir_weights),
         ("value_percentiles", contract.q_value_percentiles),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)

@@ -707,3 +707,43 @@ def test_host_cap_sample_hot_host_bounded(spark):
     assert sorted((r.doc_id, r.host_rank) for r in got) == [
         (99, 1), (199, 2), (299, 3)
     ]
+
+
+def test_dsir_score_hand_computed(spark):
+    """Score of 'a b c' = lr[bucket('a b')] + lr[bucket('b c')], with
+    buckets recomputed in Python via the same md5-60 hash; 1-word and
+    NULL docs score 0.0 with n_grams 0."""
+    import hashlib
+
+    from webxtract.curation import dsir_score_exprs
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 8
+
+    lr = [round(0.1 * (i + 1), 6) for i in range(8)]
+    exp = round(lr[bucket("a b")] + lr[bucket("b c")], 6)
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, None)], "doc_id long, text string"
+    )
+    e = dsir_score_exprs(F.col("text"), lr, n_buckets=8)
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_logweight)
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in e.items()]
+        ).collect()
+    }
+    assert got[1] == (2, exp)
+    assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
+
+
+def test_bucket_counts_totals(spark):
+    """Bucket histogram totals equal the corpus bigram count and every
+    bucket id is within range."""
+    from webxtract.curation import bucket_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, None)], "doc_id long, text string"
+    )
+    rows = bucket_counts(df, n_buckets=8).collect()
+    assert sum(r.n for r in rows) == 4  # 3 bigrams + 1 bigram
+    assert all(0 <= r.bucket < 8 for r in rows)

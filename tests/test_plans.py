@@ -410,3 +410,16 @@ def test_bpe_pairs_vocab_reduce_then_topk(spark):
     assert "Join" not in plan and "Python" not in plan
     assert _nodes(plan, "HashAggregate") >= 3  # partial+final x2 aggs
     assert _nodes(plan, "Exchange") <= 2  # vocab reduce + pair reduce
+
+
+def test_dsir_scoring_is_narrow(spark):
+    """DSIR scoring ships the log-ratio table as ONE literal and folds
+    per document: no join, no aggregation shuffle beyond the output
+    sort, no Python."""
+    from webxtract.contract import q_dsir_weights
+
+    plan = _plan(q_dsir_weights(spark, TESTDATA))
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert _nodes(plan, "Exchange") == 1  # output sort only
+    assert _nodes(plan, "HashAggregate") == 0

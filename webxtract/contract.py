@@ -712,6 +712,32 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights: raw bucket histogram from the
+    corpus (64-row collect), target distribution the closed form
+    p[b] = (b+1)/2080, log-ratio literal, then the zero-shuffle
+    per-document fold. Both engines build the same doubles from the
+    same rationals, so the in-order sums agree before the 6dp round."""
+    import math
+
+    from webxtract.curation import bucket_counts, dsir_score_exprs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = {
+        r["bucket"]: r["n"] for r in bucket_counts(d, n_buckets=64).collect()
+    }
+    total = sum(counts.values())
+    lr = [
+        math.log((b + 1) / 2080.0)
+        - math.log((counts.get(b, 0) + 1.0) / (total + 64))
+        for b in range(64)
+    ]
+    e = dsir_score_exprs(F.col("text"), lr, n_buckets=64)
+    return d.select(
+        "doc_id", *[v.alias(k) for k, v in e.items()]
+    ).orderBy("doc_id")
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 BPE merge-pair counts over documents — the oracle runs
     the same vocab reduce + per-word adjacent-char-pair unnest in

@@ -1032,3 +1032,73 @@ def host_cap_sample(
         .where(F.col("host_rank") <= cap)
         .withColumn("host_rank", F.col("host_rank").cast("long"))
     )
+
+
+# DSIR-style hashed-feature importance weighting (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"):
+# features are hashed word bigrams; a document's log importance weight
+# is sum over feature occurrences of log p_target(bucket) -
+# log p_raw(bucket). The raw distribution comes from the corpus itself
+# (bucket_counts, one tiny 64-group reduce); the target distribution is
+# the caller's (e.g. a quality-domain sample).
+
+
+def bucket_counts(
+    df: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus histogram over hashed-bigram feature buckets — the 'raw'
+    side of the DSIR ratio. One explode + one groupBy with only
+    ``n_buckets`` groups: partial aggregation collapses every
+    partition to <= n_buckets rows before the (bucket, count)-only
+    shuffle, so the reduce costs O(n_buckets * partitions) network
+    regardless of corpus size. Callers collect the n_buckets rows
+    (same class as the ANN query-vector fetch) to build the log-ratio
+    literal for dsir_score_exprs."""
+    from webxtract.textops import stable_hash60_expr, word_grams_expr
+
+    grams = word_grams_expr(F.coalesce(F.col(text_col), F.lit("")), 2)
+    return (
+        df.select(F.explode(grams).alias("g"))
+        .select(
+            F.pmod(stable_hash60_expr(F.col("g")), F.lit(n_buckets)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def dsir_score_exprs(
+    text: Column, log_ratio: list[float], n_buckets: int = 64
+) -> dict[str, Column]:
+    """Per-document DSIR log importance weight as a PURE projection:
+    the 64-entry log-ratio table ships as one array literal and the
+    score is a deterministic left fold over the document's bigrams
+    (addend order = gram order, so the DuckDB oracle's in-order
+    list_sum reproduces it bit-for-bit before the 6dp round). Zero
+    shuffles, zero joins, zero Python — scoring 10^12 documents is one
+    map pass. element_at's index is pmod(h, n)+1 in [1, n] by
+    construction (ANSI-safe)."""
+    from webxtract.textops import stable_hash60_expr, word_grams_expr
+
+    grams = word_grams_expr(F.coalesce(text, F.lit("")), 2)
+    lr = F.lit([float(x) for x in log_ratio])
+    score = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(
+            lr,
+            (F.pmod(stable_hash60_expr(g), F.lit(n_buckets)) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    return {
+        "n_grams": F.size(grams).cast("long"),
+        "dsir_logweight": F.round(score, 6),
+    }

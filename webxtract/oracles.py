@@ -2144,3 +2144,49 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2
 FROM r WHERE rn = 1
 ORDER BY vec_id
 """
+
+
+# contract.q_dsir_weights twin: identical bigram features (whitespace
+# tokens, ' '-joined), identical md5-60 bucket hash, raw histogram +
+# smoothing from the data, target p[b] = (b+1)/2080 in closed form.
+# The per-doc score is an IN-ORDER list_sum over the same addend
+# doubles as Spark's left fold; round 6dp absorbs last-ulp libm drift
+# in the ln() literals.
+ORACLES["dsir_weights"] = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)),
+                                  i -> tk[i] || ' ' || tk[i + 1])
+              ELSE [] END AS gs
+  FROM toks
+),
+raw AS (
+  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS n
+  FROM grams, unnest(gs) AS u(g)
+  GROUP BY 1
+),
+tot AS (SELECT sum(n) AS t FROM raw),
+buckets AS (SELECT unnest(range(0, 64)) AS b),
+lr AS (
+  SELECT list(
+           ln((bk.b + 1) / 2080.0)
+           - ln((coalesce(raw.n, 0) + 1.0) / (tot.t + 64))
+           ORDER BY bk.b
+         ) AS l
+  FROM buckets bk LEFT JOIN raw ON raw.bucket = bk.b CROSS JOIN tot
+)
+SELECT g.doc_id,
+       CAST(len(g.gs) AS BIGINT) AS n_grams,
+       round(coalesce(list_sum(list_transform(g.gs,
+         x -> lr.l[CAST(('0x' || substr(md5(x), 1, 15))::BIGINT % 64
+                   AS INTEGER) + 1])), 0.0), 6) AS dsir_logweight
+FROM grams g CROSS JOIN lr
+ORDER BY g.doc_id
+"""
