@@ -135,10 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_sample": wrap(c.q_host_cap_sample),
         "bpe_pairs": wrap(c.q_bpe_pairs),
         "dsir_weights": wrap(c.q_dsir_weights),
+        "split_assign": wrap(c.q_split_assign),
         "value_percentiles": wrap(c.q_value_percentiles),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "kmeans_assign": wrap(c.q_kmeans_assign),
+        "kmeans_update": wrap(c.q_kmeans_update),
+        "semantic_dedup": wrap(c.q_semantic_dedup),
         "ann_lsh_topk": wrap(c.q_ann_lsh_topk),
         "ann_multiprobe_topk": wrap(c.q_ann_multiprobe_topk),
         "embedding_near_dup": wrap(c.q_embedding_near_dup),

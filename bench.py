@@ -157,6 +157,8 @@ def main() -> None:
         ("fingerprint", contract.q_fingerprint),
         ("cosine_topk", contract.q_cosine_topk),
         ("kmeans_assign", contract.q_kmeans_assign),
+        ("kmeans_update", contract.q_kmeans_update),
+        ("semantic_dedup", contract.q_semantic_dedup),
         ("minhash_lsh_pairs", contract.q_minhash_lsh_pairs),
         ("simhash_groups", contract.q_simhash_groups),
         ("simhash_near_dup", contract.q_simhash_near_dup),
@@ -212,6 +214,7 @@ def main() -> None:
         ("host_cap_sample", contract.q_host_cap_sample),
         ("bpe_pairs", contract.q_bpe_pairs),
         ("dsir_weights", contract.q_dsir_weights),
+        ("split_assign", contract.q_split_assign),
         ("value_percentiles", contract.q_value_percentiles),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
@@ -227,6 +230,9 @@ def main() -> None:
         "passes": passes,
         "sf": sf,
         "cpus": int(cpus),
+        "timings_3dp": timings,
+        "extraction_bytes": int(n_bytes),
+        "extraction_mb_per_sec": round(n_bytes / 1e6 / extract_sec, 2),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "DETAIL.json"
@@ -238,18 +244,19 @@ def main() -> None:
         print(f"per-pass detail written to {detail_path}", flush=True)
     except OSError as e:
         print(f"detail write failed: {e}", flush=True)
+    # The LAST line must stay well under the driver's ~2k tail-capture
+    # window (round-3 lesson): per-query walls at 2dp here, 3dp walls +
+    # bytes/MBps + per-pass detail in BENCH/DETAIL.json.
     print(
         json.dumps(
             {
                 "metric": "webxtract_bench_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
                 "extraction_docs": n_docs,
-                "extraction_bytes": int(n_bytes),
                 "extraction_docs_per_sec": round(n_docs / extract_sec, 1),
-                "extraction_mb_per_sec": round(n_bytes / 1e6 / extract_sec, 2),
                 "cpus": int(cpus),
             }
         ),

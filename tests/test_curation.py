@@ -747,3 +747,37 @@ def test_bucket_counts_totals(spark):
     rows = bucket_counts(df, n_buckets=8).collect()
     assert sum(r.n for r in rows) == 4  # 3 bigrams + 1 bigram
     assert all(0 <= r.bucket < 8 for r in rows)
+
+
+def test_split_assign_hand_computed(spark):
+    """Split matches the md5-60 threshold rule recomputed in Python;
+    identical hosts always co-assign; weights are renormalized and a
+    2-way 50/50 split cuts at 500000."""
+    import hashlib
+
+    from webxtract.curation import split_assign_expr
+
+    def bucket(h: str) -> int:
+        return int(hashlib.md5(h.encode()).hexdigest()[:15], 16) % 1000000
+
+    hosts = ["a.com", "b.org", "c.net", "hot.example", ""]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r.host: r.split
+        for r in df.select(
+            "host", split_assign_expr(F.col("host")).alias("split")
+        ).collect()
+    }
+    for h in hosts:
+        b = bucket(h)
+        exp = "train" if b < 980000 else ("valid" if b < 990000 else "test")
+        assert got[h] == exp, (h, b, got[h], exp)
+
+    two = df.select(
+        "host",
+        split_assign_expr(
+            F.col("host"), splits=(("x", 1.0), ("y", 1.0))
+        ).alias("split"),
+    ).collect()
+    for r in two:
+        assert r.split == ("x" if bucket(r.host) < 500000 else "y")

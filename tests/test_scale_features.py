@@ -704,3 +704,44 @@ def test_kmeans_assign_plan_is_narrow(spark):
     # the input fixture scan is a PythonRDD; the OPERATOR must add no
     # Python evaluation of its own
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_kmeans_update_hand_computed(spark):
+    """Centroids (0,0) and (10,0): points (1,0),(3,2) -> c0 with mean
+    (2,1); (9,1) -> c1 with mean (9,1). Counts and 6dp rounding."""
+    from webxtract.similarity import kmeans_update
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 2.0]), (3, [9.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.cluster: (r.n_members, r.centroid)
+        for r in kmeans_update(df, [[0.0, 0.0], [10.0, 0.0]]).collect()
+    }
+    assert got == {0: (2, [2.0, 1.0]), 1: (1, [9.0, 1.0])}
+
+
+def test_semantic_dedup_blocks_by_cluster(spark):
+    """Identical vectors in the same cluster pair at cosine 1.0;
+    identical DIRECTION vectors assigned to different clusters never
+    pair (clustering is the blocking key — that is the O(sum c^2)
+    contract, and the miss is the documented recall trade)."""
+    from webxtract.similarity import semantic_dedup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),     # same cluster as 1, cosine 1.0
+            (3, [100.0, 0.0]),   # same direction, but nearer c1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[0.0, 0.0], [100.0, 0.0]]
+    got = [
+        (r.a, r.b, r.cosine)
+        for r in semantic_dedup_pairs(df, cents, threshold=0.99)
+        .orderBy("a", "b")
+        .collect()
+    ]
+    assert got == [(1, 2, 1.0)]

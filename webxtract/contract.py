@@ -712,6 +712,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-keyed 98/1/1 split assignment over synthetic-url documents:
+    only 4 hosts exist, so the split is constant per host class — the
+    oracle recomputes the identical md5-60 threshold rule."""
+    from webxtract.curation import split_assign_expr, url_host_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", url_host_expr(_synthetic_url_expr()).alias("host")
+    )
+    return d.select(
+        "doc_id", "host", split_assign_expr(F.col("host")).alias("split")
+    ).orderBy("doc_id")
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weights: raw bucket histogram from the
     corpus (64-row collect), target distribution the closed form
@@ -919,17 +933,45 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_ids (k-row collect), cluster = seed index == seed vec_id here,
     dist2 rounded 6dp; the oracle reproduces the same squared-L2
     argmin with (dist2, cid) ordering in float64."""
-    seeds = (
+    return similarity.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), _kmeans_seeds(spark, sf_dir)
+    ).orderBy("vec_id")
+
+
+def _kmeans_seeds(spark: SparkSession, sf_dir: str, k: int = 8) -> list:
+    rows = (
         _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 8)
+        .filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
     )
-    cents = [[float(x) for x in r["embedding"]] for r in seeds]
-    return similarity.kmeans_assign(
-        _t(spark, sf_dir, "embeddings"), cents
-    ).orderBy("vec_id")
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd centroid recompute for the q_kmeans_assign clustering:
+    per-cluster member counts and 6dp-rounded mean vectors; the oracle
+    reruns the assignment and per-dimension averages in DuckDB."""
+    return similarity.kmeans_update(
+        _t(spark, sf_dir, "embeddings"), _kmeans_seeds(spark, sf_dir)
+    ).orderBy("cluster")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster cosine pairs at 0.999. Like
+    q_embedding_near_dup, true duplicates are planted (exact copies of
+    vec_id < 200 at vec_id + 100000) so the check is non-vacuous:
+    identical vectors land in the same cluster by construction and
+    every (i, i+100000) pair must surface with cosine 1.0."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = e.unionByName(planted)
+    return similarity.semantic_dedup_pairs(
+        both, _kmeans_seeds(spark, sf_dir), threshold=0.999
+    ).orderBy("a", "b")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

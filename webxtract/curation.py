@@ -1102,3 +1102,39 @@ def dsir_score_exprs(
         "n_grams": F.size(grams).cast("long"),
         "dsir_logweight": F.round(score, 6),
     }
+
+
+def split_assign_expr(
+    host: Column,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("valid", 0.01),
+        ("test", 0.01),
+    ),
+) -> Column:
+    """Leakage-free train/valid/test split assignment, keyed by HOST:
+    hashing the registered host (not the url or content) puts every
+    page of a site — and therefore the overwhelming share of its
+    near-duplicates and templated siblings — into the SAME split, the
+    standard guard against test-set contamination by same-site
+    near-dups. Deterministic across runs and partitionings (md5-60
+    hash, no RNG), a pure narrow expression: splitting 10^12 rows is
+    free. Weights are mapped onto integer thresholds out of 10^6, so
+    the boundary arithmetic is exact in both engines (no float
+    cumsum drift at the cut points)."""
+    from webxtract.textops import stable_hash60_expr
+
+    u = F.pmod(stable_hash60_expr(F.coalesce(host, F.lit(""))), F.lit(1000000))
+    total = sum(w for _, w in splits)
+    acc = 0.0
+    expr = None
+    cuts: list[tuple[str, int]] = []
+    for name, w in splits:
+        acc += w / total
+        cuts.append((name, min(1000000, int(round(acc * 1000000)))))
+    # ranges: [0, c0) -> split 0, [c0, c1) -> split 1, ...; built
+    # inside-out so the earliest (lowest-cut) WHEN evaluates first
+    expr = F.lit(cuts[-1][0])
+    for name, cut in reversed(cuts[:-1]):
+        expr = F.when(u < cut, F.lit(name)).otherwise(expr)
+    return expr

@@ -2190,3 +2190,108 @@ SELECT g.doc_id,
 FROM grams g CROSS JOIN lr
 ORDER BY g.doc_id
 """
+
+
+# Shared CTE chain for the k-means oracles: seeds = vec_id < 8,
+# float64 squared-L2 with in-order 1..64 summation, 6dp round BEFORE
+# the (dist2, cid) argmin — identical to kmeans_assign's contract.
+def _kmeans_cte(base_table: str) -> str:
+    return f"""
+c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         round(list_sum(list_transform(range(1, 65),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+         )), 6) AS dist2
+  FROM {base_table} e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cid) AS rn
+  FROM d
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
+)"""
+
+
+# contract.q_kmeans_update twin: same assignment, per-(cluster, dim)
+# float64 averages rounded 6dp (order-free after the round), arrays
+# reassembled in dim order.
+ORACLES["kmeans_update"] = f"""
+WITH {_kmeans_cte('embeddings')},
+vals AS (
+  SELECT a.cluster, CAST(i - 1 AS INTEGER) AS dim,
+         CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+  FROM assigned a JOIN embeddings e USING (vec_id),
+       unnest(range(1, 65)) AS t(i)
+),
+m AS (
+  SELECT cluster, dim, round(avg(v), 6) AS m, count(*) AS n
+  FROM vals GROUP BY 1, 2
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(max(n) AS BIGINT) AS n_members,
+       list(m ORDER BY dim) AS centroid
+FROM m GROUP BY cluster ORDER BY cluster
+"""
+
+
+# contract.q_semantic_dedup twin: planted exact copies at
+# vec_id + 100000, same assignment over the unioned frame, exact
+# cosine within clusters at 0.999.
+ORACLES["semantic_dedup"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id < 200
+),
+{_kmeans_cte('base')},
+av AS (
+  SELECT b.vec_id, b.embedding, a.cluster
+  FROM base b JOIN assigned a USING (vec_id)
+)
+SELECT l.vec_id AS a, r2.vec_id AS b,
+  round(
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r2.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(r2.embedding[i] AS DOUBLE) * CAST(r2.embedding[i] AS DOUBLE))))),
+    6) AS cosine
+FROM av l JOIN av r2
+  ON l.cluster = r2.cluster AND l.vec_id < r2.vec_id
+WHERE round(
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r2.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(r2.embedding[i] AS DOUBLE) * CAST(r2.embedding[i] AS DOUBLE))))),
+    6) >= 0.999
+ORDER BY a, b
+"""
+
+
+# contract.q_split_assign twin: same md5-60 host hash, same integer
+# thresholds out of 10^6 (train < 980000, valid < 990000, else test).
+ORACLES["split_assign"] = f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+),
+h AS (
+  SELECT doc_id, {_HOST_SQL} AS host FROM u
+)
+SELECT doc_id, host,
+       CASE WHEN ({_H60.format(s='host')}) % 1000000 < 980000 THEN 'train'
+            WHEN ({_H60.format(s='host')}) % 1000000 < 990000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM h
+ORDER BY doc_id
+"""

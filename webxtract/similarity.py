@@ -246,8 +246,20 @@ def kmeans_assign(
     class as the 1-row query-vector fetch); full Lloyd iterations
     would alternate this map pass with a (cluster, dim)-keyed mean —
     the driver never touches corpus rows."""
+    best = assign_expr(F.col(vec_col), centroids)
+    return df.select(
+        F.col(id_col),
+        best["cluster"].alias("cluster"),
+        best["dist2"].alias("dist2"),
+    )
+
+
+def assign_expr(v: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid struct (dist2, cluster) for one vector column —
+    the shared kernel of kmeans_assign / kmeans_update /
+    semantic_dedup_pairs. See kmeans_assign for the determinism and
+    literal-shipping contract."""
     cent = F.lit([[float(x) for x in c] for c in centroids])
-    v = F.col(vec_col)
     scored = F.transform(
         cent,
         lambda c, j: F.struct(
@@ -264,9 +276,92 @@ def kmeans_assign(
             j.cast("long").alias("cluster"),
         ),
     )
-    best = F.array_min(scored)
-    return df.select(
-        F.col(id_col),
-        best["cluster"].alias("cluster"),
-        best["dist2"].alias("dist2"),
+    return F.array_min(scored)
+
+
+def kmeans_update(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The other half of a Lloyd iteration: per-cluster member count
+    and the recomputed mean centroid (each dimension rounded 6 dp).
+    Returns (cluster, n_members, centroid: array<double>); empty
+    clusters simply emit no row (the caller re-seeds or drops them).
+
+    Scale shape: assignment is the narrow assign_expr pass; the mean
+    is a posexplode to (cluster, dim, value) followed by a
+    groupBy(cluster, dim) average — k*dim groups total (e.g. 8*64 =
+    512), so partial aggregation collapses every partition to <= k*dim
+    rows before a tiny shuffle, then a second k-group reduce
+    reassembles the arrays with sort_array over (dim, mean) structs.
+    The driver never sees a corpus row; a full k-means run is this op
+    + a k-row collect per iteration. Cross-engine float contract: the
+    per-dimension mean is a float64 group sum (order-free after the
+    6 dp round; members-per-cluster sums are exact integers)."""
+    # two projections: mixing the struct-field access with a generator
+    # in ONE select loses the lambda-struct's field names (Spark 4
+    # renames them col1/col2 during the generator rewrite)
+    a = df.select(
+        assign_expr(F.col(vec_col), centroids)["cluster"].alias("cluster"),
+        F.col(vec_col).alias("__v"),
+    ).select("cluster", F.posexplode("__v").alias("dim", "val"))
+    per_dim = a.groupBy("cluster", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy("cluster")
+        .agg(
+            F.max("n").cast("long").alias("n_members"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m"))
+            ).alias("__s"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            F.transform(F.col("__s"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means clusters
+    as the blocking key, exact cosine only WITHIN a cluster, pairs with
+    cosine >= threshold (a < b, cosine rounded 6 dp). Clustering turns
+    the O(N^2) all-pairs cosine into O(sum |c|^2): at 10^12 documents
+    the operator is run with k ~ N/target so each cluster holds ~1-10k
+    vectors and the per-cluster quadratic is a single in-partition
+    join; the shuffle ships (cluster, id, vector) once per side. Same
+    blocked-join shape as the banded-LSH near-dup (near_dup_pairs),
+    with the semantic blocking SemDeDup showed prunes better than
+    random projections on embedding corpora."""
+    a = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign_expr(F.col(vec_col), centroids)["cluster"].alias("cluster"),
+    )
+    return (
+        a.alias("l")
+        .join(
+            a.alias("r"),
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.round(
+                cosine_expr(F.col("l.v"), F.col("r.v")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
