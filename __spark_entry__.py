@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": wrap(c.q_bpe_pairs),
         "dsir_weights": wrap(c.q_dsir_weights),
         "split_assign": wrap(c.q_split_assign),
+        "bigram_perplexity": wrap(c.q_bigram_perplexity),
         "value_percentiles": wrap(c.q_value_percentiles),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),

@@ -215,6 +215,7 @@ def main() -> None:
         ("bpe_pairs", contract.q_bpe_pairs),
         ("dsir_weights", contract.q_dsir_weights),
         ("split_assign", contract.q_split_assign),
+        ("bigram_perplexity", contract.q_bigram_perplexity),
         ("value_percentiles", contract.q_value_percentiles),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)

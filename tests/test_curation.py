@@ -781,3 +781,33 @@ def test_split_assign_hand_computed(spark):
     ).collect()
     for r in two:
         assert r.split == ("x" if bucket(r.host) < 500000 else "y")
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """2-doc corpus with closed-form stats: c(a)=c(b)=3, T=6, bigram
+    counts {'a b':3, 'b a':1}; doc ppls recomputed in Python with the
+    same interpolation. 1-token and NULL docs emit no row."""
+    import math
+
+    from webxtract.curation import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_bigrams, r.ppl)
+        for r in bigram_perplexity(df).collect()
+    }
+    # unigram stats include doc 3's 'solo': c(a)=c(b)=3, c(solo)=1, T=7
+    p_ab = 0.7 * (3 / 3) + (1.0 - 0.7) * (3 / 7)
+    p_ba = 0.7 * (1 / 3) + (1.0 - 0.7) * (3 / 7)
+    ppl1 = round(
+        math.exp(-(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3), 6
+    )
+    ppl2 = round(math.exp(-math.log(p_ab)), 6)
+    # doc 3 has 1 token ('solo' joins the unigram stats but yields no
+    # bigram) — no output row; doc 4 NULL — no row
+    assert set(got) == {1, 2}
+    assert got[1] == (3, ppl1)
+    assert got[2] == (1, ppl2)

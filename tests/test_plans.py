@@ -423,3 +423,15 @@ def test_dsir_scoring_is_narrow(spark):
     assert "Python" not in plan
     assert _nodes(plan, "Exchange") == 1  # output sort only
     assert _nodes(plan, "HashAggregate") == 0
+
+
+def test_bigram_perplexity_broadcast_stats(spark):
+    """Scoring joins the top-k stats tables as BROADCASTS (three of
+    them + the 1-row total); the corpus bigram stream itself never
+    shuffles for a join — no SortMergeJoin anywhere."""
+    from webxtract.contract import q_bigram_perplexity
+
+    plan = _plan(q_bigram_perplexity(spark, TESTDATA))
+    assert "SortMergeJoin" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan  # the top-k stats heads

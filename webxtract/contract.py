@@ -712,6 +712,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity against the corpus' own top-k
+    stats; the oracle rebuilds the identical tables (same top-k
+    boundaries) and the same interpolation in float64."""
+    from webxtract.curation import bigram_perplexity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bigram_perplexity(d)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bigrams", "ppl"
+    ).orderBy("doc_id")
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-keyed 98/1/1 split assignment over synthetic-url documents:
     only 4 hosts exist, so the split is constant per host class — the

@@ -1138,3 +1138,87 @@ def split_assign_expr(
     for name, cut in reversed(cuts[:-1]):
         expr = F.when(u < cut, F.lit(name)).otherwise(expr)
     return expr
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    vocab_k: int = 1000,
+    bigram_k: int = 4000,
+    alpha: float = 0.7,
+    oov_count: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram language-model perplexity against the
+    corpus' own statistics — one rung up from unigram_surprisal toward
+    the CCNet/DCLM KenLM filter, still fully deterministic:
+    ``p(w|prev) = alpha * c(prev,w)/c(prev) + (1-alpha) * c(w)/T``
+    with the bigram table truncated to the top ``bigram_k`` bigrams,
+    the unigram vocabulary to the top ``vocab_k`` (both (count DESC,
+    key ASC) at the boundary), and OOV unigrams smoothed to
+    ``oov_count``. Returns (id, n_bigrams, ppl = exp(-mean ln p)),
+    ppl rounded 6 dp; documents with <2 tokens (or NULL/blank text)
+    emit no row.
+
+    Scale shape: the stats passes are partial-aggregated count
+    reduces whose top-k heads are TakeOrderedAndProject; scoring
+    re-explodes bigrams and LEFT-joins three BROADCAST tables (top
+    bigrams, vocabulary twice — context and word) plus the 1-row
+    total, then one per-document aggregation — the corpus text never
+    shuffles, and every join ships only the k-row tables. Bigram keys
+    reuse word_grams_expr(k=2) ('prev w' strings; whitespace tokens
+    cannot contain spaces, so substring_index splits are exact)."""
+    from webxtract.textops import tokens_expr, word_grams_expr
+
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    tok = base.select(F.explode(tokens_expr(F.col("t"))).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("tt"))
+    vocab = uni.orderBy(F.col("c").desc(), "w").limit(vocab_k)
+    bg = base.select(
+        "id", F.explode(word_grams_expr(F.col("t"), 2)).alias("g")
+    )
+    bigtop = (
+        bg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .orderBy(F.col("cb").desc(), "g")
+        .limit(bigram_k)
+    )
+    split = bg.select(
+        "id",
+        "g",
+        F.substring_index("g", " ", 1).alias("prev"),
+        F.substring_index("g", " ", -1).alias("w"),
+    )
+    joined = (
+        split.join(F.broadcast(bigtop), "g", "left")
+        .join(
+            F.broadcast(
+                vocab.select(F.col("w").alias("prev"), F.col("c").alias("cp"))
+            ),
+            "prev",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select("w", F.col("c").alias("cw"))),
+            "w",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.lit(alpha) * F.coalesce(
+        F.col("cb").cast("double") / F.col("cp").cast("double"), F.lit(0.0)
+    ) + F.lit(1.0 - alpha) * (
+        F.coalesce(F.col("cw").cast("double"), F.lit(float(oov_count)))
+        / F.col("tt").cast("double")
+    )
+    return (
+        joined.select("id", F.log(p).alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+        )
+    )

@@ -2295,3 +2295,50 @@ SELECT doc_id, host,
 FROM h
 ORDER BY doc_id
 """
+
+
+# contract.q_bigram_perplexity twin: same whitespace tokens, same
+# 'prev w' bigram keys, same (count DESC, key ASC) top-k boundaries,
+# same alpha=0.7 interpolation with 0.5 OOV smoothing. All count
+# inputs are exact integers; the per-doc mean of ln(p) is a float64
+# group aggregate on both engines, with exp+round(6) absorbing
+# last-ulp summation-order drift.
+ORACLES["bigram_perplexity"] = """
+WITH base AS (
+  SELECT doc_id AS id, text AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tk AS (
+  SELECT id, regexp_split_to_array(trim(t), '\\s+') AS tks FROM base
+),
+tok AS (SELECT unnest(tks) AS w FROM tk),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS tt FROM uni),
+vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 1000),
+bg AS (
+  SELECT id, unnest(
+    CASE WHEN len(tks) >= 2
+         THEN list_transform(range(1, len(tks)),
+                             i -> tks[i] || ' ' || tks[i + 1])
+         ELSE [] END) AS g
+  FROM tk
+),
+bigtop AS (
+  SELECT g, count(*) AS cb FROM bg GROUP BY 1
+  ORDER BY cb DESC, g LIMIT 4000
+),
+sc AS (
+  SELECT bg.id,
+         0.7 * coalesce(bt.cb / vp.c, 0.0)
+       + 0.3 * coalesce(vw.c, 0.5) / tot.tt AS p
+  FROM bg
+  LEFT JOIN bigtop bt USING (g)
+  LEFT JOIN vocab vp ON vp.w = split_part(bg.g, ' ', 1)
+  LEFT JOIN vocab vw ON vw.w = split_part(bg.g, ' ', 2)
+  CROSS JOIN tot
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-avg(ln(p))), 6) AS ppl
+FROM sc GROUP BY id ORDER BY doc_id
+"""
