@@ -435,3 +435,21 @@ def test_bigram_perplexity_broadcast_stats(spark):
     assert "SortMergeJoin" not in plan
     assert _nodes(plan, "BroadcastHashJoin") >= 3
     assert "TakeOrderedAndProject" in plan  # the top-k stats heads
+
+
+def test_semantic_dedup_blocked_join_no_lambdas(spark):
+    """SemDeDup pair stage: (1) the self-join is an equi-join on the
+    cluster blocking key (SortMergeJoin/ShuffledHashJoin), never a
+    cartesian; (2) no interpreted higher-order functions anywhere —
+    the distance and cosine are unrolled codegen arithmetic (the HOF
+    form cost ~1us per element interpreted, the measured wall at k=64);
+    (3) the centroid side is a broadcast, not a literal inlined into
+    the expression tree (which the self-join's inferred null filters
+    would clone megabyte-scale into both sides)."""
+    from webxtract.contract import q_semantic_dedup
+
+    plan = _plan(q_semantic_dedup(spark, TESTDATA))
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin") >= 1
+    for hof in ("zip_with", "aggregate(", "transform("):
+        assert hof not in plan, f"interpreted HOF {hof} in semantic_dedup plan"

@@ -983,7 +983,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = e.unionByName(planted)
     return similarity.semantic_dedup_pairs(
-        both, _kmeans_seeds(spark, sf_dir), threshold=0.999
+        both, _kmeans_seeds(spark, sf_dir, k=64), threshold=0.999
     ).orderBy("a", "b")
 
 

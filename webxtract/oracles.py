@@ -2192,13 +2192,13 @@ ORDER BY g.doc_id
 """
 
 
-# Shared CTE chain for the k-means oracles: seeds = vec_id < 8,
+# Shared CTE chain for the k-means oracles: seeds = vec_id < k,
 # float64 squared-L2 with in-order 1..64 summation, 6dp round BEFORE
 # the (dist2, cid) argmin — identical to kmeans_assign's contract.
-def _kmeans_cte(base_table: str) -> str:
+def _kmeans_cte(base_table: str, k: int = 8) -> str:
     return f"""
 c AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {k}
 ),
 d AS (
   SELECT e.vec_id, c.cid,
@@ -2243,7 +2243,10 @@ FROM m GROUP BY cluster ORDER BY cluster
 
 # contract.q_semantic_dedup twin: planted exact copies at
 # vec_id + 100000, same assignment over the unioned frame, exact
-# cosine within clusters at 0.999.
+# cosine within clusters at 0.999. k=64 blocking clusters (vs 8 for
+# the assignment queries): SemDeDup's k scales with N so per-cluster
+# pair counts stay bounded — at sf0.1 this is the difference between
+# an 8-task 600k-pair join and a 64-way ~40k-pair one.
 ORACLES["semantic_dedup"] = f"""
 WITH base AS (
   SELECT vec_id, embedding FROM embeddings
@@ -2251,7 +2254,7 @@ WITH base AS (
   SELECT vec_id + 100000 AS vec_id, embedding
   FROM embeddings WHERE vec_id < 200
 ),
-{_kmeans_cte('base')},
+{_kmeans_cte('base', k=64)},
 av AS (
   SELECT b.vec_id, b.embedding, a.cluster
   FROM base b JOIN assigned a USING (vec_id)

@@ -279,6 +279,86 @@ def assign_expr(v: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(scored)
 
 
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """In-order (left-to-right) float64 dot product as unrolled
+    codegen arithmetic — bitwise-identical to DuckDB's
+    list_sum(list_transform(range(1, dim+1), ...)) in-order sum, and
+    ~1000x faster than the zip_with/aggregate HOF form, whose lambdas
+    Spark evaluates interpreted (~1us/element)."""
+    s = None
+    for i in range(dim):
+        t = F.get(a, i).cast("double") * F.get(b, i).cast("double")
+        s = t if s is None else s + t
+    return s
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Broadcast-join form of nearest-centroid assignment — same
+    (round-6dp dist2, lowest-cluster-wins) contract as assign_expr,
+    different physical shape: centroids become a k-row broadcast
+    DataFrame, each vector meets all k via BroadcastNestedLoopJoin,
+    and min(struct(dist2, cid)) per id picks the winner with map-side
+    partial aggregation (the k candidate rows for an id are produced
+    consecutively in one task, so the combine collapses them BEFORE
+    the shuffle — the exchange ships one (id, vector, cluster) row
+    per document, not k).
+
+    Why not assign_expr here: the literal form inlines a k*dim
+    constant into the expression tree, and any operator that makes
+    the optimizer COPY that tree (a self-join's inferred isnotnull
+    pushdown, as in semantic_dedup_pairs) multiplies a megabyte-scale
+    plan — at k=64 the plan alone cost more than the data pass
+    (measured: 15-30s warm at 2.2k rows vs <1s in this form). The
+    join form is also the only one that survives k in the thousands,
+    the regime SemDeDup actually runs at (k ~ N/target).
+
+    The distance itself is an UNROLLED left-to-right sum of
+    (v[i]-cv[i])^2 terms — plain codegen arithmetic, not a zip_with/
+    aggregate HOF: Spark evaluates higher-order-function lambdas
+    interpreted (~1us per element), which at k*dim*N elements was the
+    measured bottleneck (9M lambda evals ~ 10 core-s at sf0.1), and
+    the assignment projection runs at INPUT parallelism, before any
+    shuffle can widen it. Unrolling is possible precisely because the
+    join form makes cv a column: the term count is dim, independent
+    of k. Left-to-right association reproduces the oracle's in-order
+    1..dim float64 summation exactly.
+
+    Returns (id, v, cluster)."""
+    spark = df.sparkSession
+    dim = len(centroids[0])
+    cent = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "cid bigint, cv array<double>",
+    )
+    s = None
+    for i in range(dim):
+        t = F.get(F.col("v"), i).cast("double") - F.get(F.col("cv"), i)
+        sq = t * t
+        s = sq if s is None else s + sq
+    d2 = F.round(s, 6)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cent))
+        .select(
+            "id",
+            "v",
+            F.struct(d2.alias("dist2"), F.col("cid").alias("cluster")).alias(
+                "__s"
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.any_value("v").alias("v"),
+            F.min("__s").getField("cluster").alias("cluster"),
+        )
+    )
+
+
 def kmeans_update(
     df: DataFrame,
     centroids: list[list[float]],
@@ -343,11 +423,36 @@ def semantic_dedup_pairs(
     join; the shuffle ships (cluster, id, vector) once per side. Same
     blocked-join shape as the banded-LSH near-dup (near_dup_pairs),
     with the semantic blocking SemDeDup showed prunes better than
-    random projections on embedding corpora."""
-    a = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        assign_expr(F.col(vec_col), centroids)["cluster"].alias("cluster"),
+    random projections on embedding corpora.
+
+    Assignment uses the broadcast-join form (assign_clusters), not
+    the literal form: the self-join below makes Catalyst clone the
+    assignment expression into inferred isnotnull pushdowns on BOTH
+    sides, and at useful k the cloned literal tree dominates the
+    whole query (see assign_clusters docstring for the measurement).
+
+    The cosine is likewise codegen arithmetic, not the zip_with/
+    aggregate HOF: Catalyst pushes the `cosine >= threshold` filter
+    INTO the sort-merge join's non-equi condition, so the expression
+    is evaluated once per candidate pair — interpreted lambdas there
+    were the measured wall (pairs stage 12-15s warm at 37k pairs).
+    Norms are precomputed per ROW before the join (the oracle's
+    sqrt(list_sum(..)) per side — same value, k-fold cheaper), so the
+    per-pair cost is one unrolled in-order dot product + a divide."""
+    dim = len(centroids[0])
+    a = assign_clusters(
+        df, centroids, vec_col=vec_col, id_col=id_col
+    ).withColumn("nrm", F.sqrt(_dot_unrolled(F.col("v"), F.col("v"), dim)))
+    # materialize the assignment once: a self-join otherwise CLONES
+    # the whole assignment subtree (scan + broadcast-join + argmin)
+    # into both sides and runs it twice. At corpus scale SemDeDup
+    # persists assignments before the pair stage for the same reason
+    # (they also feed cluster-size diagnostics and re-runs).
+    a = a.localCheckpoint(eager=False)
+    cosine = F.round(
+        _dot_unrolled(F.col("l.v"), F.col("r.v"), dim)
+        / (F.col("l.nrm") * F.col("r.nrm")),
+        6,
     )
     return (
         a.alias("l")
@@ -359,9 +464,7 @@ def semantic_dedup_pairs(
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            F.round(
-                cosine_expr(F.col("l.v"), F.col("r.v")), 6
-            ).alias("cosine"),
+            cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
