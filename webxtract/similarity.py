@@ -19,6 +19,8 @@ same summation order) agree bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Column
@@ -32,7 +34,17 @@ def _plane_weight(h: int, i: int) -> float:
     return ((h * 1009 + i * 9176) % 2000) / 1000.0 - 1.0
 
 
+# Corpus embedding dimensionality (embeddings.parquet; every oracle
+# sums range(1, 65)). Fixed-dim lets the dot/norm kernels unroll.
+EMBED_DIM = 64
+
+
 def dot_expr(a: Column, b: Column) -> Column:
+    """Generic (variable-length) HOF dot product — kept for arrays of
+    unknown dimension. For the fixed-dim corpus embeddings use the
+    string-built unrolled kernels below: Spark evaluates zip_with/
+    aggregate lambdas INTERPRETED at ~1us/element, which made every
+    cosine-bearing operator scan-CPU-bound at volume."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -52,6 +64,64 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _elem(sql: str, i: int) -> str:
+    # try_element_at: 1-based, NULL (never an ANSI throw) out of range
+    return f"CAST(try_element_at({sql}, {i + 1}) AS DOUBLE)"
+
+
+def dot_sql(a_sql: str, b, dim: int = EMBED_DIM) -> str:
+    """In-order float64 dot product as ONE unrolled SQL string —
+    codegen arithmetic with a single py4j/parse round trip.
+
+    Three forms were measured at sf0.1 (2k-row brute-force scan):
+    HOF lambdas 0.31s warm but interpreted (~1us/element — the wall
+    for every operator that evaluates cosines per candidate PAIR);
+    Column-object unrolling 1.2-2.4s warm (O(dim) py4j round trips
+    per query, and F.get against a literal-array query clones the
+    64-literal array into all 64 terms); this string form ~0.3s warm
+    AND codegen — the same one-expression-string lesson as _proj_sql.
+    Left-to-right + association reproduces the oracle's in-order
+    list_sum exactly.
+
+    ``b`` is either a SQL expression string (column form) or a
+    list/tuple of floats (broadcast query form — literals are inlined
+    via repr, which round-trips float64 exactly)."""
+    if isinstance(b, (list, tuple)):
+        terms = [
+            f"{_elem(a_sql, i)} * CAST({float(b[i])!r} AS DOUBLE)"
+            for i in range(dim)
+        ]
+    else:
+        terms = [f"{_elem(a_sql, i)} * {_elem(b, i)}" for i in range(dim)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def norm_sql(a_sql: str, dim: int = EMBED_DIM) -> str:
+    return f"sqrt({dot_sql(a_sql, a_sql, dim)})"
+
+
+def cosine_sql(a_sql: str, b, dim: int = EMBED_DIM) -> str:
+    """round(dot/(norm*norm), 6) with the oracle's exact association.
+    For a list-valued ``b`` the query norm is inlined as a Python
+    float (same in-order float64 sum, exact repr round trip)."""
+    if isinstance(b, (list, tuple)):
+        qn = math.sqrt(_inorder_sumsq(b))
+        nb = f"CAST({qn!r} AS DOUBLE)"
+    else:
+        nb = norm_sql(b, dim)
+    return (
+        f"round({dot_sql(a_sql, b, dim)}"
+        f" / ({norm_sql(a_sql, dim)} * {nb}), 6)"
+    )
+
+
+def _inorder_sumsq(v) -> float:
+    s = 0.0
+    for x in v:
+        s = s + float(x) * float(x)
+    return s
+
+
 def brute_force_topk(
     df: DataFrame,
     query: list[float],
@@ -59,12 +129,17 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k; ties broken by id for determinism."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    """Exact cosine top-k; ties broken by id for determinism. The
+    cosine is the string-built unrolled kernel (see dot_sql): the
+    whole-corpus scan is this operator's cost at 10^12 rows, and the
+    unrolled form keeps it inside whole-stage codegen instead of
+    interpreted lambda dispatch."""
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+            F.expr(cosine_sql(vec_col, list(query), len(query))).alias(
+                "cosine"
+            ),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -126,13 +201,12 @@ def lsh_topk(
     probes = [qbucket]
     if multiprobe:
         probes += [qbucket ^ (1 << h) for h in range(n_planes)]
-    q = F.array(*[F.lit(float(x)) for x in query])
     return (
         df.withColumn("bucket", bucket_expr(vec_col, dim, n_planes))
         .filter(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
-            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+            F.expr(cosine_sql(vec_col, list(query), dim)).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
@@ -211,15 +285,34 @@ def near_dup_pairs(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    vecs = b.select("id", "v")
-    joined = (
-        cand.join(vecs.withColumnRenamed("id", "a").withColumnRenamed("v", "va"), "a")
-        .join(vecs.withColumnRenamed("id", "b").withColumnRenamed("v", "vb"), "b")
+    # norms precomputed per ROW (N evals, not per candidate pair), so
+    # the verify stage's generated code is ONE unrolled dot product —
+    # inlining dot + two norms per pair tripled the method size past
+    # what HotSpot will JIT (8KB bytecode) and the stage fell into the
+    # bytecode interpreter (measured 6-25s erratic vs ~3s).
+    vecs = b.select("id", "v", F.expr(norm_sql("v", dim)).alias("nrm"))
+    joined = cand.join(
+        vecs.select(
+            F.col("id").alias("a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "a",
+    ).join(
+        vecs.select(
+            F.col("id").alias("b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "b",
+    )
+    cosine = F.round(
+        F.expr(dot_sql("va", "vb", dim)) / (F.col("na") * F.col("nb")), 6
     )
     return joined.select(
         "a",
         "b",
-        F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        cosine.alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -279,19 +372,6 @@ def assign_expr(v: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(scored)
 
 
-def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """In-order (left-to-right) float64 dot product as unrolled
-    codegen arithmetic — bitwise-identical to DuckDB's
-    list_sum(list_transform(range(1, dim+1), ...)) in-order sum, and
-    ~1000x faster than the zip_with/aggregate HOF form, whose lambdas
-    Spark evaluates interpreted (~1us/element)."""
-    s = None
-    for i in range(dim):
-        t = F.get(a, i).cast("double") * F.get(b, i).cast("double")
-        s = t if s is None else s + t
-    return s
-
-
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
@@ -335,12 +415,10 @@ def assign_clusters(
         [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
         "cid bigint, cv array<double>",
     )
-    s = None
-    for i in range(dim):
-        t = F.get(F.col("v"), i).cast("double") - F.get(F.col("cv"), i)
-        sq = t * t
-        s = sq if s is None else s + sq
-    d2 = F.round(s, 6)
+    diffs = [f"({_elem('v', i)} - {_elem('cv', i)})" for i in range(dim)]
+    d2 = F.expr(
+        "round(" + " + ".join(f"{d} * {d}" for d in diffs) + ", 6)"
+    )
     return (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .join(F.broadcast(cent))
@@ -442,7 +520,7 @@ def semantic_dedup_pairs(
     dim = len(centroids[0])
     a = assign_clusters(
         df, centroids, vec_col=vec_col, id_col=id_col
-    ).withColumn("nrm", F.sqrt(_dot_unrolled(F.col("v"), F.col("v"), dim)))
+    ).withColumn("nrm", F.expr(norm_sql("v", dim)))
     # materialize the assignment once: a self-join otherwise CLONES
     # the whole assignment subtree (scan + broadcast-join + argmin)
     # into both sides and runs it twice. At corpus scale SemDeDup
@@ -450,7 +528,7 @@ def semantic_dedup_pairs(
     # (they also feed cluster-size diagnostics and re-runs).
     a = a.localCheckpoint(eager=False)
     cosine = F.round(
-        _dot_unrolled(F.col("l.v"), F.col("r.v"), dim)
+        F.expr(dot_sql("l.v", "r.v", dim))
         / (F.col("l.nrm") * F.col("r.nrm")),
         6,
     )
