@@ -1,10 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
 - brute_force_topk: exact cosine top-k against a broadcast query vector
-  — the correctness baseline. The dot product is a zip_with +
-  aggregate (JVM-side); top-k is a single `orderBy ... limit k`
-  which Spark executes as TakeOrderedAndProject (per-partition heaps +
-  driver merge, no full sort, no shuffle of the corpus).
+  — the correctness baseline. The dot product is a string-built
+  unrolled codegen expression (see dot_sql); top-k is a single
+  `orderBy ... limit k` which Spark executes as TakeOrderedAndProject
+  (per-partition heaps + driver merge, no full sort, no shuffle of
+  the corpus).
 - lsh_topk: random-hyperplane (signed-projection) bucketing — the scale
   path: candidates only from the query's bucket (and optional
   neighboring probes), then exact re-rank. At 10^12 vectors the
@@ -349,9 +350,15 @@ def kmeans_assign(
 
 def assign_expr(v: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid struct (dist2, cluster) for one vector column —
-    the shared kernel of kmeans_assign / kmeans_update /
-    semantic_dedup_pairs. See kmeans_assign for the determinism and
-    literal-shipping contract."""
+    the kernel of kmeans_assign / kmeans_update. See kmeans_assign for
+    the determinism and literal-shipping contract. Kept in the HOF
+    literal form deliberately: at k=8 it benches 1.1s warm at sf0.1 —
+    a string-built unrolled variant (8*64*2 inline literals) was
+    measured SLOWER (kmeans_update 4-5.8s), because here the tree
+    feeds a generator rewrite that re-walks it; the unrolled kernels
+    win only where expressions are evaluated per candidate PAIR or
+    cloned into join-side filters (see dot_sql / assign_clusters,
+    which is also the form to use for k beyond ~16)."""
     cent = F.lit([[float(x) for x in c] for c in centroids])
     scored = F.transform(
         cent,
