@@ -247,7 +247,9 @@ def main() -> None:
         print(f"detail write failed: {e}", flush=True)
     # The LAST line must stay well under the driver's ~2k tail-capture
     # window (round-3 lesson): per-query walls at 2dp here, 3dp walls +
-    # bytes/MBps + per-pass detail in BENCH/DETAIL.json.
+    # bytes/MBps + per-pass detail in BENCH/DETAIL.json. Compact
+    # separators keep 70+ query entries ~1.7k chars (default-spacing
+    # json.dumps was 1.9k — too close to the window).
     print(
         json.dumps(
             {
@@ -256,10 +258,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
-                "extraction_docs": n_docs,
                 "extraction_docs_per_sec": round(n_docs / extract_sec, 1),
                 "cpus": int(cpus),
-            }
+            },
+            separators=(",", ":"),
         ),
         flush=True,
     )
