@@ -114,6 +114,7 @@ def run_extraction_job(
     run_id: str,
     spark: SparkSession,
     num_partitions: int | None = None,
+    transform=None,
 ) -> dict:
     """The production job shape: resume -> salt/partition -> extract ->
     write output (+ run_id lineage column, hive-partitioned by run) ->
@@ -123,16 +124,23 @@ def run_extraction_job(
     extra passes (SURVEY.md §2.1-S5). The per-partition audit rows are
     computed from a run_id-pruned read-back of just-committed files
     (never a rescan of the full history: at 10^12 accumulated urls a
-    full-table re-aggregation per incremental run is a non-starter)."""
+    full-table re-aggregation per incremental run is a non-starter).
+
+    ``transform`` swaps the per-page job body (default: extract_pages;
+    the CLI passes the full validation pipeline for --mode pipeline) —
+    it must preserve the url / n_bytes / parse_failure columns the
+    observe stats and audit aggregation read."""
     from pyspark.sql import Observation
 
     from webxtract.ops.extract import extract_pages
 
+    if transform is None:
+        transform = extract_pages
     todo = resume_filter(pages, output_path, spark)
     if num_partitions:
         todo = partition_by_url(todo, num_partitions)
     extracted = (
-        extract_pages(todo)
+        transform(todo)
         .withColumn("run_id", F.lit(run_id))
         # recorded at write time: spark_partition_id() in the write
         # stage IS the write task index, so the read-back audit can

@@ -133,12 +133,23 @@ def _ship_package(spark: SparkSession) -> None:
         return
     import pathlib
     import tempfile
+
+    zip_path = pathlib.Path(tempfile.gettempdir()) / "webxtract_pyfiles.zip"
+    build_pyfiles_zip(str(zip_path))
+    sc.addPyFile(str(zip_path))
+    sc._webxtract_shipped = True
+
+
+def build_pyfiles_zip(zip_path: str) -> str:
+    """Build the ``--py-files`` archive: every .py in the webxtract
+    package, rooted so ``import webxtract`` resolves from the zip.
+    Used in-code by ``_ship_package`` and offline by
+    ``python -m webxtract.cli --build-pyfiles`` for spark-submit."""
+    import pathlib
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    zip_path = pathlib.Path(tempfile.gettempdir()) / "webxtract_pyfiles.zip"
     with zipfile.ZipFile(zip_path, "w") as zf:
         for py in sorted(pkg_dir.rglob("*.py")):
             zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
-    sc.addPyFile(str(zip_path))
-    sc._webxtract_shipped = True
+    return zip_path
