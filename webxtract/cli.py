@@ -38,7 +38,12 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="webxtract", description=__doc__)
     p.add_argument("--build-pyfiles", metavar="ZIP", default=None,
                    help="write the --py-files archive and exit (no Spark)")
-    p.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    p.add_argument("--input",
+                   help="pages source: parquet path or iceberg:catalog.db.table "
+                        "(url, warc_ts, html, text, lang)")
+    p.add_argument("--since-snapshot", type=int, default=None,
+                   help="Iceberg incremental read: only rows appended after "
+                        "this snapshot id (requires an iceberg: --input)")
     p.add_argument("--output", help="extracted-rows parquet path (run_id-partitioned)")
     p.add_argument("--audit", help="audit-table parquet path")
     p.add_argument("--run-id", help="lineage id for this run (fresh per attempt)")
@@ -89,7 +94,12 @@ def main(argv: list[str] | None = None) -> int:
         kw = {"run_date": args.run_date} if args.run_date else {}
         transform = lambda df: run_pipeline(df, **kw)  # noqa: E731
 
-    pages = spark.read.parquet(args.input)
+    from webxtract.table_io import incremental_pages, load_pages
+
+    if args.since_snapshot is not None:
+        pages = incremental_pages(spark, args.input, args.since_snapshot)
+    else:
+        pages = load_pages(spark, args.input)
     metrics = run_extraction_job(
         pages,
         output_path=args.output,
