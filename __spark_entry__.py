@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": wrap(c.q_dedup_paragraphs),
         "top_tokens": wrap(c.q_top_tokens),
         "dedup_incremental": wrap(c.q_dedup_incremental),
+        "near_dedup_incremental": wrap(c.q_near_dedup_incremental),
         "unigram_surprisal": wrap(c.q_unigram_surprisal),
         "crawl_diff": wrap(c.q_crawl_diff),
         "chunk_dups": wrap(c.q_chunk_dups),

@@ -177,6 +177,7 @@ def main() -> None:
         ("dedup_paragraphs", contract.q_dedup_paragraphs),
         ("top_tokens", contract.q_top_tokens),
         ("dedup_incremental", contract.q_dedup_incremental),
+        ("near_dedup_incremental", contract.q_near_dedup_incremental),
         ("unigram_surprisal", contract.q_unigram_surprisal),
         ("crawl_diff", contract.q_crawl_diff),
         ("chunk_dups", contract.q_chunk_dups),

@@ -745,3 +745,77 @@ def test_semantic_dedup_blocks_by_cluster(spark):
         .collect()
     ]
     assert got == [(1, 2, 1.0)]
+
+
+def test_near_dedup_stream_cross_drop_restart_and_horizon(spark, tmp_path):
+    """Streaming near-dedup: a hamming<=3 variant WITHIN a drop is
+    suppressed keep-smallest-url; a variant in a LATER drop is
+    suppressed against the committed fingerprint table (state survives
+    restart); re-running with no new drops emits nothing (idempotent
+    sinks); and with a horizon, a recrawl far past it is re-admitted
+    (fingerprint state is bounded by crawl recency, not history)."""
+    import datetime as dt
+
+    from webxtract.streaming import start_near_dedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = None
+    for i in range(10000):
+        cand = f"{base} tok{i}"
+        if bin(_py_simhash(base) ^ _py_simhash(cand)).count("1") <= 3:
+            near = cand
+            break
+    assert near is not None
+    far = "completely different subject matter entirely unrelated words galore everywhere"
+    assert bin(_py_simhash(base) ^ _py_simhash(far)).count("1") > 3
+    assert bin(_py_simhash(near) ^ _py_simhash(far)).count("1") > 3
+
+    ts = dt.datetime(2026, 1, 15, 12, 0, 0)
+    drops = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    fps = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(rows, when=ts):
+        spark.createDataFrame(
+            [(u, when, None, t, "en") for u, t in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).coalesce(1).write.mode("append").parquet(drops)
+
+    def run():
+        q = start_near_dedup_stream(
+            spark, drops, out, fps, ckpt, max_hamming=3, horizon="72 hours"
+        )
+        q.awaitTermination(300)
+
+    # u1 and its near-variant u2 in ONE drop: u1 (smaller url) survives;
+    # far text and a NULL-text page always survive
+    drop([("u1", base), ("u2", near), ("u3", far), ("u4", None)])
+    run()
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got == {"u1", "u3", "u4"}
+    # NULL-text pages are never fingerprinted
+    committed = spark.read.parquet(fps)
+    assert committed.filter(committed.sh.isNull()).count() == 0
+    assert committed.count() == 2  # base + far
+
+    # second drop after restart: the near-variant of COMMITTED base is
+    # suppressed by the fingerprint table; genuinely new text survives
+    new = "a genuinely new page about something else entirely with fresh words"
+    assert bin(_py_simhash(new) ^ _py_simhash(base)).count("1") > 3
+    assert bin(_py_simhash(new) ^ _py_simhash(far)).count("1") > 3
+    drop([("u5", near), ("u6", new)], when=ts + dt.timedelta(hours=1))
+    run()
+    got2 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {"u1", "u3", "u4", "u6"}
+
+    # nothing new: idempotent, no re-emission
+    run()
+    assert {r["url"] for r in spark.read.parquet(out).collect()} == got2
+
+    # a recrawl 30 days later: every fingerprint is past the 72h
+    # horizon, so the same text is re-admitted (bounded state by design)
+    drop([("u7", base)], when=ts + dt.timedelta(days=30))
+    run()
+    got3 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert "u7" in got3 and len(got3) == 5

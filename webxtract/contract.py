@@ -872,6 +872,28 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(both, max_hamming=3).orderBy("a", "b")
 
 
+def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental NEAR-dedup (hamming<=3): prior runs
+    committed the simhash fingerprints of documents with doc_id%7==0;
+    the new increment is docs under 200 plus one-token-appended copies
+    (id+100000) of every fifth — copies of committed or smaller-id
+    texts must be suppressed, everything else survives with its
+    fingerprint. The DuckDB oracle computes the same survivors by
+    brute-force NOT EXISTS hamming checks (banding is exact-recall by
+    pigeonhole, so the two agree)."""
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 7 == 0).select(
+        dedup.simhash_expr(F.col("text")).alias("sh")
+    )
+    base = d.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    near = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    inc = base.unionByName(near)
+    return dedup.near_dedup_increment(inc, seen).orderBy("doc_id")
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide keep-first paragraph dedup over documents with
     planted duplicates: every doc gets the same promo paragraph

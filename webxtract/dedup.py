@@ -285,6 +285,24 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _band_vals_expr(sh: Column, max_hamming: int, bits: int) -> Column:
+    """The ``max_hamming + 1`` bit-bands of a simhash as an array —
+    any pair within the hamming budget agrees exactly on at least one
+    band (pigeonhole), so equal band values are a 100%-recall candidate
+    key. Shared by the batch pair generator and the incremental/
+    streaming near-dedup."""
+    n_bands = max_hamming + 1
+    base = bits // n_bands
+    sizes = [base + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    offs = [sum(sizes[:i]) for i in range(n_bands)]
+    return F.array(
+        *[
+            F.shiftright(sh, offs[i]).bitwiseAND(F.lit((1 << sizes[i]) - 1))
+            for i in range(n_bands)
+        ]
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -307,24 +325,14 @@ def simhash_near_dup_pairs(
     degenerate bands (e.g. the all-zeros band of near-empty documents)
     before the quadratic self-join, same contract as the other pair
     generators."""
-    n_bands = max_hamming + 1
-    base = bits // n_bands
-    sizes = [base + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
-    offs = [sum(sizes[:i]) for i in range(n_bands)]
-
     sh = df.select(
         F.col(id_col).alias("id"), simhash_expr(F.col(text_col), bits).alias("sh")
     )
-    band_vals = F.array(
-        *[
-            F.shiftright(F.col("sh"), offs[i]).bitwiseAND(
-                F.lit((1 << sizes[i]) - 1)
-            )
-            for i in range(n_bands)
-        ]
-    )
     posting = sh.select(
-        "id", "sh", F.posexplode(band_vals).alias("band", "bval")
+        "id", "sh",
+        F.posexplode(_band_vals_expr(F.col("sh"), max_hamming, bits)).alias(
+            "band", "bval"
+        ),
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window
@@ -354,6 +362,90 @@ def simhash_near_dup_pairs(
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return cand.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def near_dedup_increment(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Cross-run incremental NEAR-dedup — the hamming<=``max_hamming``
+    twin of ``dedup_incremental``: a crawl increment is cleaned against
+    the simhash fingerprint table (column ``sh``) committed by all
+    prior runs, then near-dups WITHIN the increment are suppressed
+    keep-smallest-id (a doc is dropped iff ANY smaller id in the
+    increment is within the hamming budget — greedy, so a chain a~b~c
+    with a!~c drops both b and c where sequential processing would keep
+    c; documented over-drop, the safe direction for train-data hygiene,
+    and increments are small next to history). Returns surviving
+    (id, simhash) rows — exactly the fingerprints the caller appends
+    for the next run. NULL-text docs carry a NULL simhash: they always
+    survive (their NULL band values never equi-join) and callers must
+    not fingerprint them.
+
+    Scale shape: both joins ship (band, bval, sh) posting rows — two
+    bigints, never text; the seen side is NEVER assumed broadcastable
+    (years of fingerprints), so the candidate join may stay a shuffled
+    join (AQE still broadcasts a small one); per-(band, bval) bucket
+    caps (default 1000) bound degenerate bands under the module's
+    exact-dedup-first ordering contract (see module docstring); the
+    verify is one bit_count(xor). This is also the per-microbatch
+    kernel of ``streaming.start_near_dedup_stream``."""
+    from pyspark.sql import Window
+
+    inc = df.select(
+        F.col(id_col).alias("id"), simhash_expr(F.col(text_col), bits).alias("sh")
+    )
+
+    def postings(frame: DataFrame, cols: list[str]) -> DataFrame:
+        p = frame.select(
+            *cols,
+            F.posexplode(_band_vals_expr(F.col("sh"), max_hamming, bits)).alias(
+                "band", "bval"
+            ),
+        )
+        if max_bucket_size is not None:
+            w = Window.partitionBy("band", "bval")
+            p = (
+                p.withColumn("__n", F.count(F.lit(1)).over(w))
+                .filter(F.col("__n") <= max_bucket_size)
+                .drop("__n")
+            )
+        return p
+
+    inc_p = postings(inc, ["id", "sh"])
+    seen_p = postings(
+        seen.select(F.col("sh")).dropDuplicates(["sh"]), ["sh"]
+    ).withColumnRenamed("sh", "seen_sh")
+    hit_seen = (
+        inc_p.join(seen_p, ["band", "bval"])
+        .filter(
+            F.bit_count(F.col("sh").bitwiseXOR(F.col("seen_sh"))) <= max_hamming
+        )
+        .select("id")
+        .distinct()
+    )
+    fresh = inc.join(hit_seen, "id", "left_anti")
+    fp = postings(fresh, ["id", "sh"])
+    older = fp.select(
+        F.col("id").alias("l_id"), F.col("sh").alias("l_sh"), "band", "bval"
+    )
+    dropped = (
+        fp.join(older, ["band", "bval"])
+        .filter(
+            (F.col("l_id") < F.col("id"))
+            & (F.bit_count(F.col("sh").bitwiseXOR(F.col("l_sh"))) <= max_hamming)
+        )
+        .select("id")
+        .distinct()
+    )
+    return fresh.join(dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col), F.col("sh").alias("simhash")
     )
 
 

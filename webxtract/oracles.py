@@ -800,6 +800,59 @@ GROUP BY text_hash
 ORDER BY text_hash
 """
 
+# contract.q_near_dedup_incremental twin: brute-force NOT EXISTS hamming
+# checks stand in for the banded candidate join (banding is exact-recall
+# by pigeonhole, so the survivor sets agree); the within-increment rule
+# is keep-smallest-id — a row survives iff NO smaller id is within the
+# hamming budget among the seen-clean rows.
+ORACLES["near_dedup_incremental"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+inc AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz' FROM base WHERE doc_id % 5 = 0
+),
+it AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                   tk -> {h}) AS th
+  FROM inc
+),
+ish AS (
+  SELECT doc_id,
+    (list_sum(list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(th,
+             h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
+           THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS simhash
+  FROM it
+),
+st AS (
+  SELECT list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        tk -> {h}) AS th
+  FROM documents WHERE doc_id % 7 = 0
+),
+ssh AS (
+  SELECT DISTINCT
+    (list_sum(list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(th,
+             h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
+           THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS simhash
+  FROM st
+),
+fresh AS (
+  SELECT i.doc_id, i.simhash FROM ish i
+  WHERE NOT EXISTS (SELECT 1 FROM ssh s
+                    WHERE bit_count(xor(i.simhash, s.simhash)) <= 3)
+)
+SELECT r.doc_id, r.simhash FROM fresh r
+WHERE NOT EXISTS (SELECT 1 FROM fresh l
+                  WHERE l.doc_id < r.doc_id
+                    AND bit_count(xor(l.simhash, r.simhash)) <= 3)
+ORDER BY doc_id
+""".format(h=_H60.format(s="tk"))
+
 # contract.q_top_tokens twin: whitespace tokens over trimmed text,
 # empty tokens excluded, (count desc, token asc) total order.
 ORACLES["top_tokens"] = """

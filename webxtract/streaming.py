@@ -347,6 +347,103 @@ def start_dedup_stream(
     return writer.start()
 
 
+def start_near_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    fingerprint_path: str,
+    checkpoint_path: str,
+    max_hamming: int = 3,
+    horizon: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-dedup for incremental page drops — the
+    hamming<=k twin of ``start_dedup_stream``. Near-dup needs a banded
+    candidate join plus a bit_count verify, which
+    ``dropDuplicatesWithinWatermark``'s exact-key state cannot express,
+    so this is a ``foreachBatch`` composition of the batch kernel
+    (``dedup.near_dedup_increment``) against a committed fingerprint
+    table — dedup state is a plain appendable table, never executor
+    memory.
+
+    Per microbatch: (1) read the fingerprints committed by PRIOR
+    batches — this batch's own run_id partition is EXCLUDED, so a
+    replayed batch never sees its own half-committed fingerprints and
+    suppresses itself; (2) if ``horizon`` is set (e.g. "72 hours"),
+    prune fingerprints older than the batch's max warc_ts minus the
+    horizon — the watermark analog that bounds state by crawl recency
+    instead of corpus history (recrawls older than the horizon are the
+    documented false-negative tradeoff, same as the exact stream);
+    (3) run the kernel keyed by url (keep-smallest-url within the
+    batch); (4) write surviving pages AND their non-NULL fingerprints,
+    each dynamic-partition-overwriting its own run_id partition —
+    foreachBatch is at-least-once, idempotence comes from the sinks.
+
+    Scale: the kernel shuffles (band, bval, simhash) postings only;
+    page payloads are written once and never join-shuffled (survivor
+    urls rejoin the persisted batch, which AQE broadcasts — a
+    microbatch is small by construction)."""
+    from webxtract.audit import _exists
+    from webxtract.dedup import near_dedup_increment
+
+    stream = read_page_stream(spark, input_path)
+
+    def _write_batch(batch_df, batch_id):  # noqa: ANN001
+        run_id = f"batch-{batch_id}"
+        if _exists(fingerprint_path, spark):
+            seen = spark.read.parquet(fingerprint_path).filter(
+                F.col("run_id") != run_id
+            )
+            if horizon is not None:
+                hi = batch_df.agg(F.max("warc_ts")).collect()[0][0]
+                if hi is not None:
+                    seen = seen.filter(
+                        F.col("warc_ts")
+                        >= F.lit(hi) - F.expr(f"INTERVAL {horizon}")
+                    )
+            seen = seen.select("sh")
+        else:
+            seen = spark.createDataFrame([], "sh bigint")
+        pages = batch_df.persist()
+        try:
+            keep = near_dedup_increment(
+                pages, seen, text_col="text", id_col="url",
+                max_hamming=max_hamming,
+            )
+            survivors = pages.join(keep.select("url"), "url")
+            (
+                survivors.withColumn("run_id", F.lit(run_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run_id")
+                .parquet(output_path)
+            )
+            fps = (
+                keep.filter(F.col("simhash").isNotNull())
+                .join(pages.select("url", "warc_ts"), "url")
+                .select(
+                    F.col("simhash").alias("sh"),
+                    "warc_ts",
+                    F.lit(run_id).alias("run_id"),
+                )
+            )
+            (
+                fps.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run_id")
+                .parquet(fingerprint_path)
+            )
+        finally:
+            pages.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_warc_stream(
     spark: SparkSession,
     input_path: str,
