@@ -453,3 +453,27 @@ def test_semantic_dedup_blocked_join_no_lambdas(spark):
     assert _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin") >= 1
     for hof in ("zip_with", "aggregate(", "transform("):
         assert hof not in plan, f"interpreted HOF {hof} in semantic_dedup plan"
+
+
+def test_near_dedup_increment_is_bucket_local(spark):
+    """Candidate generation must stay INSIDE the (band, bval) buckets —
+    no posting self-join — and the increment must be scanned at most
+    twice (postings + final anti-join). The first draft of this op
+    re-derived the increment per candidate join: 9 scans and 22
+    exchanges. Pinned on a plain parquet input (the contract query's
+    union fixture triggers Catalyst's push-through-union rewrite, which
+    legitimately clones the subtree per branch)."""
+    from pyspark.sql import functions as F
+
+    from webxtract.dedup import near_dedup_increment, simhash_expr
+
+    d = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    seen = d.filter(F.col("doc_id") % 7 == 0).select(
+        simhash_expr(F.col("text")).alias("sh")
+    )
+    plan = _plan(near_dedup_increment(d.select("doc_id", "text"), seen))
+    assert _nodes(plan, "SortMergeJoin") == 0
+    # exactly one join in the whole plan: the dropped-id anti-join
+    assert len(set(re.findall(r"\((\d+)\) \w*Join", plan))) == 1
+    assert _nodes(plan, "Scan parquet") <= 3
+    assert _nodes(plan, "Exchange") + _nodes(plan, "BroadcastExchange") <= 4

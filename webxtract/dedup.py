@@ -377,74 +377,89 @@ def near_dedup_increment(
     """Cross-run incremental NEAR-dedup — the hamming<=``max_hamming``
     twin of ``dedup_incremental``: a crawl increment is cleaned against
     the simhash fingerprint table (column ``sh``) committed by all
-    prior runs, then near-dups WITHIN the increment are suppressed
-    keep-smallest-id (a doc is dropped iff ANY smaller id in the
-    increment is within the hamming budget — greedy, so a chain a~b~c
-    with a!~c drops both b and c where sequential processing would keep
-    c; documented over-drop, the safe direction for train-data hygiene,
-    and increments are small next to history). Returns surviving
+    prior runs, and near-dups WITHIN the increment are suppressed
+    keep-smallest-id — a doc is dropped iff some bucket-mate within the
+    hamming budget is a committed fingerprint or a smaller-id increment
+    doc. Greedy, so a chain a~b~c with a!~c drops both b and c where
+    sequential processing would keep c; documented over-drop, the safe
+    direction for train-data hygiene, and increments are small next to
+    history. Returns surviving
     (id, simhash) rows — exactly the fingerprints the caller appends
     for the next run. NULL-text docs carry a NULL simhash: they always
     survive (their NULL band values never equi-join) and callers must
     not fingerprint them.
 
-    Scale shape: both joins ship (band, bval, sh) posting rows — two
-    bigints, never text; the seen side is NEVER assumed broadcastable
-    (years of fingerprints), so the candidate join may stay a shuffled
-    join (AQE still broadcasts a small one); per-(band, bval) bucket
-    caps (default 1000) bound degenerate bands under the module's
-    exact-dedup-first ordering contract (see module docstring); the
-    verify is one bit_count(xor). This is also the per-microbatch
-    kernel of ``streaming.start_near_dedup_stream``."""
+    Scale shape — bucket-local, join-free candidate generation: inc
+    and seen postings (band, bval, sh, id?) union into ONE frame — two
+    bigints a row, never text — and ONE hash shuffle on (band, bval)
+    serves both the window bucket-cap and the groupBy that collects
+    each bucket's members (the agg reuses the window's partitioning:
+    no second exchange). The hamming verify runs as array HOFs INSIDE
+    the bucket — no candidate self-join at all — and only dropped ids
+    leave the stage, so the follow-up anti-join against the increment
+    ships ids, nothing else. The first candidate-join draft of this
+    function re-derived the increment subtree per join (9 scans / 22
+    exchanges in the initial plan); this shape scans the increment
+    twice (postings + final anti-join) with ~4 exchanges. Per-bucket
+    member arrays are bounded by the cap BEFORE collection
+    (collect_list skips the NULLed-out over-cap structs), so a
+    degenerate band can never materialize an unbounded array; capped
+    buckets generate no candidates but their docs still survive via
+    the anti-join (same contract as the pair generators, module
+    docstring). The seen side is never assumed broadcastable (years of
+    fingerprints) and never joins — it only shuffles its postings."""
     from pyspark.sql import Window
 
     inc = df.select(
         F.col(id_col).alias("id"), simhash_expr(F.col(text_col), bits).alias("sh")
     )
+    null_id = F.lit(None).cast(inc.schema["id"].dataType)
 
-    def postings(frame: DataFrame, cols: list[str]) -> DataFrame:
-        p = frame.select(
-            *cols,
+    def postings(frame: DataFrame, is_seen: bool) -> DataFrame:
+        return frame.select(
+            (F.col("id") if not is_seen else null_id).alias("id"),
+            "sh",
+            F.lit(is_seen).alias("is_seen"),
             F.posexplode(_band_vals_expr(F.col("sh"), max_hamming, bits)).alias(
                 "band", "bval"
             ),
         )
-        if max_bucket_size is not None:
-            w = Window.partitionBy("band", "bval")
-            p = (
-                p.withColumn("__n", F.count(F.lit(1)).over(w))
-                .filter(F.col("__n") <= max_bucket_size)
-                .drop("__n")
-            )
-        return p
 
-    inc_p = postings(inc, ["id", "sh"])
-    seen_p = postings(
-        seen.select(F.col("sh")).dropDuplicates(["sh"]), ["sh"]
-    ).withColumnRenamed("sh", "seen_sh")
-    hit_seen = (
-        inc_p.join(seen_p, ["band", "bval"])
-        .filter(
-            F.bit_count(F.col("sh").bitwiseXOR(F.col("seen_sh"))) <= max_hamming
+    u = postings(inc.filter(F.col("sh").isNotNull()), False).unionByName(
+        postings(
+            seen.select(F.col("sh")).filter(F.col("sh").isNotNull()).distinct(),
+            True,
         )
-        .select("id")
-        .distinct()
     )
-    fresh = inc.join(hit_seen, "id", "left_anti")
-    fp = postings(fresh, ["id", "sh"])
-    older = fp.select(
-        F.col("id").alias("l_id"), F.col("sh").alias("l_sh"), "band", "bval"
+    member = F.struct("id", "sh", "is_seen")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bval")
+        member = F.when(
+            F.count(F.lit(1)).over(w) <= max_bucket_size, member
+        )  # otherwise NULL -> collect_list drops it: over-cap buckets go inert
+    buckets = (
+        u.select("band", "bval", member.alias("m"))
+        .groupBy("band", "bval")
+        .agg(F.collect_list("m").alias("ms"))
     )
-    dropped = (
-        fp.join(older, ["band", "bval"])
-        .filter(
-            (F.col("l_id") < F.col("id"))
-            & (F.bit_count(F.col("sh").bitwiseXOR(F.col("l_sh"))) <= max_hamming)
-        )
-        .select("id")
-        .distinct()
-    )
-    return fresh.join(dropped, "id", "left_anti").select(
+    # a doc is dropped iff some bucket-mate within the hamming budget is
+    # a committed fingerprint OR a smaller-id increment doc
+    dropped = buckets.select(
+        F.explode(
+            F.filter(
+                F.col("ms"),
+                lambda m: ~m["is_seen"]
+                & F.exists(
+                    F.col("ms"),
+                    lambda x: (
+                        F.bit_count(x["sh"].bitwiseXOR(m["sh"])) <= max_hamming
+                    )
+                    & (x["is_seen"] | (x["id"] < m["id"])),
+                ),
+            )
+        ).alias("d")
+    ).select(F.col("d.id").alias("id")).distinct()
+    return inc.join(dropped, "id", "left_anti").select(
         F.col("id").alias(id_col), F.col("sh").alias("simhash")
     )
 

@@ -801,10 +801,10 @@ ORDER BY text_hash
 """
 
 # contract.q_near_dedup_incremental twin: brute-force NOT EXISTS hamming
-# checks stand in for the banded candidate join (banding is exact-recall
-# by pigeonhole, so the survivor sets agree); the within-increment rule
-# is keep-smallest-id — a row survives iff NO smaller id is within the
-# hamming budget among the seen-clean rows.
+# checks stand in for the banded bucket-local candidates (banding is
+# exact-recall by pigeonhole, so the survivor sets agree); a row
+# survives iff NO committed fingerprint and NO smaller-id increment row
+# is within the hamming budget.
 ORACLES["near_dedup_incremental"] = """
 WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
@@ -840,14 +840,11 @@ ssh AS (
              h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
            THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS simhash
   FROM st
-),
-fresh AS (
-  SELECT i.doc_id, i.simhash FROM ish i
-  WHERE NOT EXISTS (SELECT 1 FROM ssh s
-                    WHERE bit_count(xor(i.simhash, s.simhash)) <= 3)
 )
-SELECT r.doc_id, r.simhash FROM fresh r
-WHERE NOT EXISTS (SELECT 1 FROM fresh l
+SELECT r.doc_id, r.simhash FROM ish r
+WHERE NOT EXISTS (SELECT 1 FROM ssh s
+                  WHERE bit_count(xor(r.simhash, s.simhash)) <= 3)
+  AND NOT EXISTS (SELECT 1 FROM ish l
                   WHERE l.doc_id < r.doc_id
                     AND bit_count(xor(l.simhash, r.simhash)) <= 3)
 ORDER BY doc_id
