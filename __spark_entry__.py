@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": wrap(c.q_bm25),
         "robots_filter": wrap(c.q_robots_filter),
         "pagerank_hosts": wrap(c.q_pagerank_hosts),
+        "frontier_schedule": wrap(c.q_frontier_schedule),
+        "host_components": wrap(c.q_host_components),
         "extraction_eval": wrap(c.q_extraction_eval),
         "c4_clean": wrap(c.q_c4_clean),
         "fix_mojibake": wrap(c.q_fix_mojibake),
@@ -139,6 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": wrap(c.q_split_assign),
         "bigram_perplexity": wrap(c.q_bigram_perplexity),
         "value_percentiles": wrap(c.q_value_percentiles),
+        "stratified_keep": wrap(c.q_stratified_keep),
+        "split_sentences": wrap(c.q_split_sentences),
         # similarity search
         "cosine_topk": wrap(c.q_cosine_topk),
         "kmeans_assign": wrap(c.q_kmeans_assign),

@@ -811,3 +811,25 @@ def test_bigram_perplexity_hand_computed(spark):
     assert set(got) == {1, 2}
     assert got[1] == (3, ppl1)
     assert got[2] == (1, ppl2)
+
+
+def test_stratified_keep_per_stratum_ties(spark):
+    """Keep-top-50% per lang: strata are thresholded independently,
+    and a tied value class at the boundary is kept TOGETHER (the
+    documented over-admission); NULL value/strata rows drop."""
+    from webxtract.curation import stratified_keep
+
+    rows = [
+        (1, "en", 10), (2, "en", 20), (3, "en", 30), (4, "en", 40),
+        # de: values 5,5,9 -> pct_ranks 0,0,1; 1-0.5 boundary keeps 9
+        # only; the tied 5s rank 0.0 < 0.5 and drop together
+        (5, "de", 5), (6, "de", 5), (7, "de", 9),
+        (8, None, 99), (9, "fr", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v long")
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_keep(df, F.col("v"), 0.5, strata_col="lang").collect()
+    )
+    # en pct_ranks: 10->0, 20->1/3, 30->2/3, 40->1; >= 0.5 keeps 30,40
+    assert got == [3, 4, 7]

@@ -249,3 +249,78 @@ def test_bm25_reference_values(spark):
         return round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))), 6)
 
     assert got == {0: s(2, 4), 1: 0.0, 2: s(1, 3)}
+
+
+def test_crawl_delay_parse_branches(spark):
+    from webxtract.linkgraph import crawl_delay_expr
+
+    rows = [
+        (0, "User-agent: *\nCrawl-delay: 7\nDisallow: /x\n"),
+        (1, "User-agent: googlebot\nCrawl-delay: 9\n\nUser-agent: *\nDisallow: /\n"),
+        (2, "User-agent: *\nDisallow: /\n"),
+        (3, None),
+        # delay AFTER other directives in the UA-* section still counts
+        (4, "User-agent: *\nDisallow: /a\nCrawl-delay: 3\n"),
+    ]
+    df = spark.createDataFrame(rows, "id long, robots_txt string")
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", crawl_delay_expr(F.col("robots_txt")).alias("d")
+        ).collect()
+    }
+    assert got == {0: 7, 1: None, 2: None, 3: None, 4: 3}
+
+
+def test_frontier_schedule_ranks_caps_and_delays(spark):
+    from webxtract.linkgraph import frontier_schedule
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/1", 10),
+            ("https://a.example/2", 30),
+            ("https://a.example/3", 20),
+            ("https://b.example/1", 5),
+        ],
+        "url string, priority long",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nCrawl-delay: 4\n")],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["url"]: (r["host_rank"], r["fetch_at_sec"])
+        for r in frontier_schedule(
+            urls, robots=robots, max_per_host=2, default_delay_sec=1
+        ).collect()
+    }
+    # a.example: /2 (prio 30) first, /3 (20) second, /1 capped out;
+    # delays 0s and 4s. b.example: default 1s delay, rank 1 -> 0s.
+    assert got == {
+        "https://a.example/2": (1, 0),
+        "https://a.example/3": (2, 4),
+        "https://b.example/1": (1, 0),
+    }
+
+
+def test_host_components_clusters_and_singleton_loop(spark):
+    from webxtract.linkgraph import host_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a.example", "b.example"),
+            ("b.example", "c.example"),   # chain a-b-c
+            ("x.example", "y.example"),   # separate pair
+            ("z.example", "z.example"),   # self-loop only
+        ],
+        "src_host string, dst_host string",
+    )
+    got = {r["host"]: r["component"] for r in host_components(edges).collect()}
+    assert got == {
+        "a.example": "a.example",
+        "b.example": "a.example",
+        "c.example": "a.example",
+        "x.example": "x.example",
+        "y.example": "x.example",
+        "z.example": "z.example",
+    }

@@ -477,3 +477,47 @@ def test_near_dedup_increment_is_bucket_local(spark):
     assert len(set(re.findall(r"\((\d+)\) \w*Join", plan))) == 1
     assert _nodes(plan, "Scan parquet") <= 3
     assert _nodes(plan, "Exchange") + _nodes(plan, "BroadcastExchange") <= 4
+
+
+def test_split_sentences_is_narrow(spark):
+    """Sentence segmentation is a pure projection + explode: zero
+    exchanges, zero Python, no joins — it parallelizes with the scan
+    at any corpus size."""
+    from webxtract.contract import q_split_sentences
+
+    plan = _plan(q_split_sentences(spark, TESTDATA).limit(10))
+    assert _nodes(plan, "Exchange") == 0
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert _nodes(plan, "Generate") == 1  # the posexplode
+
+
+def test_stratified_keep_window_over_histogram(spark):
+    """Per-stratum relative thresholding windows over the (strata,
+    value) HISTOGRAM — one Window node fed by an aggregate, histogram
+    and per-stratum counts broadcast back; never a row-level window
+    over corpus rows."""
+    from webxtract.contract import q_stratified_keep
+
+    plan = _plan(q_stratified_keep(spark, TESTDATA))
+    assert _nodes(plan, "Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"sum\(__c", plan)
+
+
+def test_frontier_schedule_two_phase_salted_broadcast_delay(spark):
+    """The frontier's per-host ranking is the two-phase salted window
+    (hot hosts never collapse into one partition; rank-limit pushdown
+    applies on both phases) and the per-host crawl-delay table joins
+    BROADCAST — the url side never shuffles for the join."""
+    from webxtract.contract import q_frontier_schedule
+
+    plan = _plan(q_frontier_schedule(spark, TESTDATA))
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2
+    assert _nodes(plan, "WindowGroupLimit") >= 2
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    # the robots fixture arrives via createDataFrame (a PythonRDD
+    # scan); what must be absent is Python EVALUATION over the urls
+    assert "EvalPython" not in plan

@@ -12,3 +12,38 @@ def test_bpe_pair_counts_hand_computed(spark):
     )
     got = [(r.pair, r.pair_count) for r in bpe_pair_counts(df).collect()]
     assert got == [("ab", 4), ("ba", 2), ("xb", 1)]
+
+
+def test_split_sentences_semantics(spark):
+    """Leading terminator runs drop (no preceding text), whitespace
+    fragments drop BEFORE indexing (sent_idx stays dense), mixed
+    .!? terminators split, NULL text yields no rows, and a
+    terminator-free doc is one sentence."""
+    from webxtract.textops import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two! Three? "),
+            (2, "...after dots."),
+            (3, "no terminator"),
+            (4, None),
+            (5, "a.   .b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in split_sentences(df).orderBy("doc_id", "sent_idx").collect()
+    ]
+    assert got == [
+        (1, 0, "One."),
+        (1, 1, "Two!"),
+        (1, 2, "Three?"),
+        (2, 0, "after dots."),
+        (3, 0, "no terminator"),
+        # "a.   .b": match1 "a.", match2 "   ." -> trims to "." (kept),
+        # match3 "b" — the dot-led fragment keeps its terminator run
+        (5, 0, "a."),
+        (5, 1, "."),
+        (5, 2, "b"),
+    ]

@@ -1571,3 +1571,95 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         e["has_curly_brace"].alias("has_curly_brace"),
         e["c4_keep"].alias("c4_keep"),
     ).orderBy("doc_id")
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation over planted multi-sentence text (the raw
+    corpus has no terminators, which would leave every branch but the
+    trivial one untested): doc_id%4 plants mixed ./?/! terminators
+    with a whitespace tail fragment (dropped), a leading '...' run
+    (dropped — no preceding text), a trailing-whitespace-only fragment
+    (dropped), and a no-terminator doc (one sentence). One (doc_id,
+    sent_idx, sentence) row per kept ``[^.!?]+[.!?]*`` run; identical
+    pattern semantics in Java regex and DuckDB's RE2 (no lookbehind)."""
+    from webxtract.textops import split_sentences
+
+    m = F.col("doc_id") % 4
+    planted = (
+        F.when(m == 0, F.concat(F.col("text"),
+                                F.lit(". Tail question? Yes! ")))
+        .when(m == 1, F.concat(F.lit("..."), F.col("text")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(".   ")))
+        .otherwise(F.col("text"))
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", planted.alias("text")
+    )
+    return split_sentences(d).orderBy("doc_id", "sent_idx")
+
+
+def q_stratified_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language relative thresholding: keep the top 25% of each
+    lang stratum by n_chars (ties kept together). Oracle is the plain
+    percent_rank window PARTITION BY lang — the histogram-window
+    engine form is exactly rank-equivalent."""
+    from webxtract.curation import stratified_keep
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_keep(
+        d, F.col("n_chars"), 0.25, strata_col="lang"
+    ).orderBy("doc_id")
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness frontier over 5 synthetic hosts (r0..r4.example):
+    rank per host by (n_chars DESC, url ASC), cap 30 per host, delay
+    from planted robots.txt Crawl-delay directives (r0: 5s; r1: 2s;
+    r2: a googlebot-only section whose delay must NOT apply; r3: UA-*
+    section without a delay; r4: no robots row) — the default-1s,
+    wrong-section, and planted-delay branches all occur."""
+    from webxtract.linkgraph import frontier_schedule
+
+    robots = spark.createDataFrame(
+        [
+            ("r0.example", "User-agent: *\nCrawl-delay: 5\nDisallow: /tmp\n"),
+            ("r1.example", "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n"),
+            ("r2.example",
+             "User-agent: googlebot\nCrawl-delay: 9\n\n"
+             "User-agent: *\nDisallow: /y\n"),
+            ("r3.example", "User-agent: *\nDisallow: /z\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    urls = d.select(
+        F.concat(
+            F.lit("https://r"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("n_chars").alias("priority"),
+    )
+    return frontier_schedule(
+        urls, robots=robots, max_per_host=30
+    ).orderBy("url")
+
+
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over a planted multi-cluster host
+    edge list: cluster c = doc_id%12 owns string nodes s{c*10+k}, and
+    each doc contributes the edge (s{c*10+id%7}, s{c*10+(3*id)%10}) —
+    edges never cross clusters, so ≥12 components with non-trivial
+    internal structure. Oracle: recursive-CTE transitive closure over
+    the identical edge list (string min == binary collation in both
+    engines)."""
+    from webxtract.linkgraph import host_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c10 = (F.col("doc_id") % 12) * 10
+    edges = d.select(
+        F.concat(F.lit("s"), (c10 + F.col("doc_id") % 7).cast("string"))
+        .alias("src_host"),
+        F.concat(F.lit("s"), (c10 + (F.col("doc_id") * 3) % 10).cast("string"))
+        .alias("dst_host"),
+    )
+    return host_components(edges).orderBy("host")

@@ -1222,3 +1222,69 @@ def bigram_perplexity(
             F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
         )
     )
+
+
+def stratified_keep(
+    df: DataFrame,
+    value: Column,
+    frac: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of documents per stratum by ``value`` —
+    relative (percentile) thresholding applied WITHIN each group, the
+    FineWeb/CCNet move of filtering per language/dump so a
+    high-resource stratum's score distribution never sets the bar for
+    a low-resource one. A document survives when its within-stratum
+    percent_rank >= 1 - frac; every member of a tied value class
+    shares a rank, so ties are kept together (the achieved keep rate
+    can exceed ``frac`` by at most one value class — deterministic,
+    documented).
+
+    Scale shape: same histogram trick as value_percentiles — the
+    ordered window runs over the per-stratum VALUE HISTOGRAM
+    (groupBy(strata, value), partial-aggregated), so window input is
+    bounded by value cardinality per stratum, never corpus rows; the
+    per-stratum doc counts ride in a second tiny aggregate and both
+    join back BROADCAST. percent_rank here is exactly SQL's
+    ``percent_rank() OVER (PARTITION BY strata ORDER BY value)``."""
+    from pyspark.sql import Window
+
+    v = value.alias("__v")
+    base = df.select(F.col(id_col), F.col(strata_col).alias("__s"), v).where(
+        F.col("__v").isNotNull() & F.col("__s").isNotNull()
+    )
+    hist = base.groupBy("__s", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("__s")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        "__s",
+        "__v",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__below"),
+    )
+    n = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ranked.join(F.broadcast(n), "__s").select(
+        "__s",
+        "__v",
+        F.round(
+            F.when(
+                F.col("__n") > 1,
+                F.col("__below").cast("double")
+                / (F.col("__n") - F.lit(1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("pct_rank"),
+    )
+    return (
+        base.join(F.broadcast(ranked), ["__s", "__v"])
+        .where(F.col("pct_rank") >= F.lit(1.0 - frac))
+        .select(
+            id_col,
+            F.col("__s").alias(strata_col),
+            F.col("__v").alias("value"),
+            "pct_rank",
+        )
+    )

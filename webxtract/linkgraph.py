@@ -352,3 +352,102 @@ def filter_robots_allowed(
     return robots_verdicts(urls, robots, url_col).filter(
         F.col("allowed")
     ).drop("allowed")
+
+
+CRAWL_DELAY_RE = r"(?m)^Crawl-delay: (\d+)"
+
+
+def crawl_delay_expr(robots_txt: Column) -> Column:
+    """Per-host ``Crawl-delay`` (seconds) from the ``User-agent: *``
+    section of robots.txt; NULL when the directive is absent (callers
+    coalesce to their politeness default). Non-standard but
+    widely-published directive; integer-seconds form only."""
+    sec = F.regexp_extract(
+        F.coalesce(robots_txt, F.lit("")), ROBOTS_SECTION_RE, 1
+    )
+    d = F.regexp_extract(sec, CRAWL_DELAY_RE, 1)
+    return F.when(d != "", d.cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    robots: DataFrame | None = None,
+    priority_col: str = "priority",
+    url_col: str = "url",
+    max_per_host: int = 1000,
+    default_delay_sec: int = 1,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier schedule: ranks each host's
+    candidate urls by (priority DESC, url ASC), caps the per-host
+    queue at ``max_per_host``, and assigns every surviving url the
+    earliest second it may be fetched under the host's robots.txt
+    ``Crawl-delay`` (one fetch per host per delay window — the
+    sequencing every polite crawler derives from its frontier).
+    Output: ``(url, host, <priority>, host_rank, fetch_at_sec)`` with
+    ``fetch_at_sec = (host_rank - 1) * delay``.
+
+    Scale shape: the per-host ranking is the TWO-PHASE salted window
+    (curation.host_cap_sample) — a hot host with 10^8 candidates never
+    lands in one window partition, and only (url, host, priority)
+    ever shuffles. Crawl-delays are per-HOST (millions of rows at web
+    scale) and join BROADCAST, same contract as robots_verdicts; no
+    delay row means ``default_delay_sec``."""
+    from webxtract.curation import host_cap_sample
+
+    base = urls.select(
+        F.col(url_col),
+        url_host_expr(F.col(url_col)).alias("host"),
+        F.col(priority_col),
+    )
+    ranked = host_cap_sample(
+        base,
+        cap=max_per_host,
+        host_col="host",
+        id_col=url_col,
+        order_col=priority_col,
+    )
+    delay = F.lit(int(default_delay_sec)).cast("long")
+    if robots is not None:
+        delays = robots.select(
+            F.col("host").alias("__dhost"),
+            crawl_delay_expr(F.col("robots_txt")).alias("__delay"),
+        )
+        ranked = ranked.join(
+            F.broadcast(delays), ranked.host == F.col("__dhost"), "left"
+        )
+        delay = F.coalesce(F.col("__delay"), delay)
+    return ranked.select(
+        url_col,
+        "host",
+        priority_col,
+        "host_rank",
+        ((F.col("host_rank") - 1) * delay).cast("long").alias("fetch_at_sec"),
+    )
+
+
+def host_components(
+    hedges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Weakly-connected components of the host graph — the site-family
+    / mirror-cluster grouping (CC's host web graph ships exactly this
+    as its component column): ``(host, component)`` where component is
+    the lexicographically smallest host reachable through the
+    (symmetrized) edge list. Reuses the dedup pointer-jumping
+    min-label kernel verbatim — labels are strings here, and min/least
+    over Spark's binary string ordering matches DuckDB's default
+    binary collation, so the recursive-CTE oracle agrees byte-for-
+    byte. Same scale contract: O(log diameter) rounds, per-round
+    shuffles carry two strings per row, only hosts that appear in an
+    edge are labeled (isolated hosts are their own trivial component
+    and never needed the shuffle)."""
+    from webxtract.dedup import dedup_components
+
+    comp = dedup_components(
+        hedges, a_col=src_col, b_col=dst_col, max_iterations=max_iterations
+    )
+    return comp.select(F.col("id").alias("host"), "component")

@@ -2395,3 +2395,102 @@ SELECT id AS doc_id,
        round(exp(-avg(ln(p))), 6) AS ppl
 FROM sc GROUP BY id ORDER BY doc_id
 """
+
+
+# contract.q_split_sentences twin: identical RE2∩Java pattern (no
+# lookbehind), trim-then-filter-then-index so sent_idx is dense in
+# both engines; DuckDB lists are 1-based, range(1, n+1) = 1..n.
+ORACLES["split_sentences"] = """
+WITH p AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN text || '. Tail question? Yes! '
+           WHEN 1 THEN '...' || text
+           WHEN 2 THEN text || '.   '
+           ELSE text
+         END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*'),
+             x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM p
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS sent_idx,
+       sents[CAST(i AS INTEGER)] AS sentence
+FROM s, unnest(range(1, len(sents) + 1)) AS t(i)
+ORDER BY doc_id, sent_idx
+"""
+
+
+# contract.q_stratified_keep twin: percent_rank PARTITION BY lang is
+# rank-identical to the engine's per-stratum histogram window (count
+# of strictly-smaller values / (n-1)); both sides compare the ROUNDED
+# rank against 0.75 so the boundary class cannot diverge.
+ORACLES["stratified_keep"] = """
+SELECT doc_id, lang, n_chars AS value,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars),
+             9) AS pct_rank
+FROM documents
+WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+QUALIFY pct_rank >= 0.75
+ORDER BY doc_id
+"""
+
+
+# contract.q_frontier_schedule twin: single-window row_number per
+# host over the identical (priority DESC, url ASC) total order (the
+# engine's two-phase salted ranking is rank-equivalent by the
+# superset construction); delays replicate crawl_delay_expr over the
+# planted robots fixtures — r2's googlebot-only section must NOT
+# apply, r3 has no delay, r4 has no robots row (both default to 1s).
+ORACLES["frontier_schedule"] = """
+WITH urls AS (
+  SELECT 'https://r' || CAST(doc_id % 5 AS VARCHAR) || '.example/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'r' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         n_chars AS priority
+  FROM documents
+),
+r AS (
+  SELECT url, host, priority,
+         CAST(row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, url
+         ) AS BIGINT) AS host_rank
+  FROM urls
+)
+SELECT url, host, priority, host_rank,
+       CAST((host_rank - 1) * (CASE host
+          WHEN 'r0.example' THEN 5
+          WHEN 'r1.example' THEN 2
+          ELSE 1 END) AS BIGINT) AS fetch_at_sec
+FROM r WHERE host_rank <= 30
+ORDER BY url
+"""
+
+
+# contract.q_host_components twin: recursive-CTE transitive closure
+# over the identical planted string edge list; min over VARCHAR uses
+# DuckDB's default binary collation == Spark's UTF8 binary ordering.
+ORACLES["host_components"] = """
+WITH RECURSIVE e0 AS (
+  SELECT 's' || CAST((doc_id % 12) * 10 + doc_id % 7 AS VARCHAR) AS src,
+         's' || CAST((doc_id % 12) * 10 + (doc_id * 3) % 10 AS VARCHAR) AS dst
+  FROM documents
+),
+edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS host, min(r) AS component FROM reach GROUP BY id ORDER BY host
+"""
