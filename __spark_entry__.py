@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": wrap(c.q_warc_roundtrip),
         "warc_cdx": wrap(c.q_warc_cdx),
         "wet_records": wrap(c.q_wet_records),
+        "wat_records": wrap(c.q_wat_records),
         "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
         "html_metadata": wrap(c.q_html_metadata),
         "extract_pdf_roundtrip": wrap(c.q_extract_pdf_roundtrip),
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": wrap(c.q_crawl_diff),
         "chunk_dups": wrap(c.q_chunk_dups),
         "chunk_dedup": wrap(c.q_chunk_dedup),
+        "doc_containment": wrap(c.q_doc_containment),
         "temperature_mix": wrap(c.q_temperature_mix),
         "chunk_tokens": wrap(c.q_chunk_tokens),
         # link graph
@@ -126,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_meta": wrap(c.q_robots_meta),
         "bm25": wrap(c.q_bm25),
         "robots_filter": wrap(c.q_robots_filter),
+        "robots_sitemaps": wrap(c.q_robots_sitemaps),
         "pagerank_hosts": wrap(c.q_pagerank_hosts),
         "frontier_schedule": wrap(c.q_frontier_schedule),
         "host_components": wrap(c.q_host_components),

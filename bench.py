@@ -222,6 +222,9 @@ def main() -> None:
         ("split_sentences", contract.q_split_sentences),
         ("frontier_schedule", contract.q_frontier_schedule),
         ("host_components", contract.q_host_components),
+        ("doc_containment", contract.q_doc_containment),
+        ("wat_records", contract.q_wat_records),
+        ("robots_sitemaps", contract.q_robots_sitemaps),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

@@ -125,3 +125,48 @@ def test_chunk_dedup_ansi_neutral(spark, docs):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert results[0] == results[1]
+
+
+def test_doc_containment_is_asymmetric(spark):
+    """A short doc embedded verbatim inside a much longer doc: the
+    short side's chunk set is contained (high ratio), the long side's
+    is not — and an unrelated doc pairs with neither."""
+    shared_long = " ".join(f"shared{i} token{i} body{i}" for i in range(80))
+    long_extra = " ".join(f"extra{i} filler{i} pad{i} word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, shared_long),
+            (2, shared_long + " " + long_extra),
+            (3, " ".join(f"other{i} stuff{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dedup.doc_containment(
+            docs, boundary_mod=8, min_tok=4, min_ratio=0.6, min_chunks=2
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.6
+    assert (2, 1) not in got  # reverse direction fails the ratio
+    assert not any(3 in pair for pair in got)
+
+
+def test_doc_containment_df_cap_drops_hot_chunk(spark):
+    """A chunk shared by more docs than max_df is excluded from
+    candidate generation (the quadratic-bucket guard), so pairs that
+    exist ONLY through the hot chunk disappear."""
+    hot = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [(i, hot) for i in range(10)], "doc_id long, text string"
+    )
+    capped = dedup.doc_containment(
+        docs, boundary_mod=10**9, min_tok=4, min_ratio=0.5,
+        min_chunks=1, max_df=5,
+    )
+    assert capped.count() == 0
+    uncapped = dedup.doc_containment(
+        docs, boundary_mod=10**9, min_tok=4, min_ratio=0.5,
+        min_chunks=1, max_df=100,
+    )
+    assert uncapped.count() == 90  # all ordered pairs

@@ -521,3 +521,39 @@ def test_frontier_schedule_two_phase_salted_broadcast_delay(spark):
     # the robots fixture arrives via createDataFrame (a PythonRDD
     # scan); what must be absent is Python EVALUATION over the urls
     assert "EvalPython" not in plan
+
+
+def test_doc_containment_hash_only_shuffles_no_cartesian(spark):
+    """Containment detection never shuffles chunk text: the explode
+    emits (id, hash) before the set-dedup, the posting self-join keys
+    on the hash, and everything downstream carries two bigints. No
+    cartesian product, no sort-merge explosion on the text column."""
+    from webxtract.contract import q_doc_containment
+
+    plan = _plan(q_doc_containment(spark, TESTDATA))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # chunk text exists only below the hash projection: no Exchange
+    # input schema may carry the chunk STRING column (`chunk#N`;
+    # `chunk_hash#N` is the two-bigint payload and is expected)
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", plan):
+        assert not re.search(r"\bchunk#\d", m.group(0))
+
+
+def test_wat_records_is_narrow(spark):
+    """WAT serialization is one codegen'd concat per row: zero
+    exchanges (bar the output sort), zero Python, zero joins."""
+    from webxtract.contract import q_wat_records
+
+    plan = _plan(q_wat_records(spark, TESTDATA).limit(5))
+    assert _nodes(plan, "Exchange") == 0
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_robots_sitemaps_is_narrow(spark):
+    from webxtract.contract import q_robots_sitemaps
+
+    plan = _plan(q_robots_sitemaps(spark, TESTDATA).limit(5))
+    assert _nodes(plan, "Exchange") == 0
+    assert "EvalPython" not in plan

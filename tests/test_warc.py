@@ -324,3 +324,107 @@ def test_wet_sink_roundtrip(spark, corpus, tmp_path):
         h1 = hashlib.md5(open(os.path.join(out1, name), "rb").read())
         h2 = hashlib.md5(open(os.path.join(out2, name), "rb").read())
         assert h1.hexdigest() == h2.hexdigest(), name
+
+
+def test_wat_record_json_payload_parses_and_escapes(spark):
+    """The WAT envelope must be real JSON: quotes/backslashes in the
+    title escape correctly, NULL title serializes as JSON null, links
+    keep document order, and Content-Length equals the payload bytes."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from webxtract.warc import wat_record_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, 'He said "hi" \\ bye', ["https://a.example/x", "https://b.example/y"]),
+            (2, None, []),
+        ],
+        "id long, title string, links array<string>",
+    )
+    rec = wat_record_expr(
+        F.concat(F.lit("https://w.example/p/"), F.col("id").cast("string")),
+        F.to_timestamp(F.lit("2026-01-15 12:00:00")),
+        F.col("title"),
+        F.col("links"),
+    )
+    rows = {r["id"]: r["rec"] for r in df.select("id", rec.alias("rec")).collect()}
+
+    def payload(r: str) -> tuple[dict, int]:
+        head, _, rest = r.partition("\r\n\r\n")
+        body = rest[: -4]  # strip trailing CRLFCRLF
+        clen = int(
+            [l for l in head.split("\r\n") if l.startswith("Content-Length:")][0]
+            .split(":", 1)[1]
+        )
+        return _json.loads(body), clen == len(body.encode())
+
+    p1, len_ok1 = payload(rows[1])
+    assert len_ok1
+    env = p1["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "https://w.example/p/1"
+    hm = env["Payload-Metadata"]["HTML-Metadata"]
+    assert hm["Head"]["Title"] == 'He said "hi" \\ bye'
+    assert hm["Links"] == ["https://a.example/x", "https://b.example/y"]
+
+    p2, len_ok2 = payload(rows[2])
+    assert len_ok2
+    assert p2["Envelope"]["Payload-Metadata"]["HTML-Metadata"]["Head"]["Title"] is None
+    assert "WARC-Type: metadata" in rows[2]
+
+
+def test_wat_sink_roundtrip(spark, corpus, tmp_path):
+    """pages -> WAT metadata segments -> read_warc: every metadata
+    payload parses back as the page's envelope JSON (url echoed
+    inside), one warcinfo per segment, deterministic bytes across
+    two writes."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from webxtract.linkgraph import hrefs_expr, resolve_link_expr
+
+    pages_path, _ = corpus
+    pages = (
+        spark.read.parquet(pages_path)
+        .filter(F.col("html").isNotNull())
+        .repartition(2, "url")
+        .sortWithinPartitions("url")
+    )
+    html_text = F.coalesce(F.col("html").cast("string"), F.lit(""))
+    title = F.regexp_extract(html_text, "<title>(.*?)</title>", 1)
+    title = F.when(title == "", F.lit(None).cast("string")).otherwise(title)
+    links = F.filter(
+        F.transform(hrefs_expr(html_text),
+                    lambda l: resolve_link_expr(l, F.col("url"))),
+        lambda x: x.isNotNull(),
+    )
+    wat = pages.select(
+        "url",
+        W.wat_record_expr(
+            F.col("url"), F.col("warc_ts"), title, links
+        ).alias("wat_record"),
+    )
+
+    out1, out2 = str(tmp_path / "wat1"), str(tmp_path / "wat2")
+    man = W.write_wat_segments(wat, out1, "2026-01-15T00:00:00Z").collect()
+    W.write_wat_segments(wat, out2, "2026-01-15T00:00:00Z").collect()
+    assert sum(m.n_records for m in man) == pages.count()
+    assert {m.wat_file for m in man} == set(os.listdir(out1))
+
+    back = W.read_warc(spark, out1, record_types=("metadata",)).select(
+        "url", F.col("payload").cast("string").alias("p")
+    ).collect()
+    assert len(back) == pages.count()
+    for r in back:
+        env = _json.loads(r.p)["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == r.url
+
+    info = W.read_warc(spark, out1, record_types=("warcinfo",)).collect()
+    assert len(info) == len(man)
+
+    for name in os.listdir(out1):
+        h1 = hashlib.md5(open(os.path.join(out1, name), "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(os.path.join(out2, name), "rb").read()).hexdigest()
+        assert h1 == h2, name

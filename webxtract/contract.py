@@ -1663,3 +1663,106 @@ def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dst_host"),
     )
     return host_components(edges).orderBy("host")
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over a planted superset corpus: each doc_id <
+    100 also exists as doc_id+200000 with an appended tail, so the
+    original's chunk set is ~contained in the extended copy's (the
+    final edge chunk differs — documented recall loss of content-
+    defined chunking) while the reverse direction fails the ratio.
+    Same chunk parameters as the chunk-dedup queries (mod 8, >=4
+    tokens)."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    extended = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" appended tail words for the containment fixture"),
+        ).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(extended).filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    return dedup.doc_containment(
+        corpus,
+        boundary_mod=8,
+        min_tok=4,
+        min_ratio=0.75,
+        min_chunks=3,
+        max_df=100,
+    ).orderBy("a", "b")
+
+
+def q_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata-record serialization (the third CC product): each
+    page's WARC/1.0 metadata record with a JSON envelope carrying the
+    head title (planted with a double-quote so the escape path is
+    exercised; doc_id%9 rows have NO title -> JSON null) and the
+    resolved outlink list (absolute kept, root-relative resolved,
+    mailto dropped) in document order. The oracle rebuilds identical
+    bytes; (rec_bytes, rec_md5) pin the serialization."""
+    from webxtract.linkgraph import hrefs_expr, resolve_link_expr
+    from webxtract.warc import wat_record_expr
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"), did,
+    )
+    title_tag = F.when(F.col("doc_id") % 9 == 0, F.lit("")).otherwise(
+        F.concat(F.lit('<title>Doc "'), did, F.lit('" - '),
+                 F.col("source"), F.lit("</title>"))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), title_tag, F.lit("</head><body>"),
+        F.lit('<a href="https://partner.example/r/'), did, F.lit('">p</a>'),
+        F.lit('<a href="/p/'), (F.col("doc_id") % 50).cast("string"),
+        F.lit('">rel</a><a href="mailto:x@y.example">m</a>'),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    ts = F.timestamp_add(
+        "SECOND",
+        (F.col("doc_id") % 86400).cast("int"),
+        F.to_timestamp(F.lit("2026-01-15 00:00:00")),
+    )
+    title = F.regexp_extract(html, "<title>(.*?)</title>", 1)
+    title = F.when(title == "", F.lit(None).cast("string")).otherwise(title)
+    links = F.filter(
+        F.transform(hrefs_expr(html), lambda l: resolve_link_expr(l, url)),
+        lambda x: x.isNotNull(),
+    )
+    rec = wat_record_expr(url, ts, title, links)
+    return d.select(
+        "doc_id",
+        F.octet_length(rec).alias("rec_bytes"),
+        F.md5(rec.cast("binary")).alias("rec_md5"),
+    ).orderBy("doc_id")
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-directive discovery over per-doc planted robots.txt:
+    every row carries one sitemap url inside a UA-* group plus (for
+    doc_id%3==0) a second one AFTER a different UA group — both must
+    be found (Sitemap is group-independent), in file order."""
+    from webxtract.linkgraph import sitemaps_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\nSitemap: https://s"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/sitemap-"), did, F.lit(".xml\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("User-agent: googlebot\nDisallow: /\n"
+                  "Sitemap: https://s.example/extra.xml\n"),
+        ).otherwise(F.lit("")),
+    )
+    sm = sitemaps_expr(robots)
+    return d.select(
+        "doc_id",
+        F.array_join(sm, ",").alias("sitemaps"),
+        F.size(sm).alias("n_sitemaps"),
+    ).orderBy("doc_id")

@@ -856,3 +856,90 @@ def dedup_keep_best(
     return ranked.select(
         "id", "component", (F.col("__rn") == 1).alias("keep"), "kept_id"
     )
+
+
+def doc_containment(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+    min_tok: int = 8,
+    min_ratio: float = 0.8,
+    min_chunks: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric containment detection: ordered pairs ``(a, b,
+    shared_chunks, n_chunks_a, containment)`` where a fraction >=
+    ``min_ratio`` of document a's content-defined chunk SET also
+    occurs in document b — catching quote-expansion pages, syndicated
+    articles wrapped in new boilerplate, and superset re-posts that
+    symmetric Jaccard misses (|A∩B|/|A∪B| stays low when B is much
+    larger, |A∩B|/|A| does not).
+
+    Chunking: the same content-defined boundaries as dedup_chunks
+    (position-independent, so a passage embedded at any offset in b
+    hashes identically); only chunks of >= ``min_tok`` tokens count,
+    keeping trivial fragments out of both sets. Documents with <
+    ``min_chunks`` qualifying chunks produce no a-side row (one edge
+    chunk would dominate the ratio).
+
+    Scale shape: chunk TEXT never leaves its partition — the explode
+    emits (id, hash60) only; the set-dedup, df-cap reduce, posting
+    self-join (on the hash), pair count, and size join all shuffle
+    two-bigint rows with map-side partial aggregation. Chunks
+    occurring in > ``max_df`` documents are dropped BEFORE the
+    self-join (default-ON, the LSH bucket-cap contract: a boilerplate
+    chunk shared by 10^6 pages must not become a 10^12-row bucket
+    join); dropped hot chunks can only LOWER recall for pairs that
+    were already near-identical elsewhere, never create false pairs.
+    """
+    sets = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(chunk_spans_expr(F.col(text_col), boundary_mod)).alias(
+                "c"
+            ),
+        )
+        .filter(F.col("c.n_tok") >= min_tok)
+        .select(
+            "id",
+            F.conv(F.substring(F.md5(F.col("c.chunk")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("chunk_hash"),
+        )
+        .distinct()
+    )
+    sizes = (
+        sets.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_chunks_a"))
+        .filter(F.col("n_chunks_a") >= min_chunks)
+    )
+    capped = (
+        sets.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("chunk_hash")
+    )
+    posts = sets.join(capped, "chunk_hash")
+    a = posts.select(F.col("chunk_hash"), F.col("id").alias("a"))
+    b = posts.select(F.col("chunk_hash"), F.col("id").alias("b"))
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    ratio = F.col("shared_chunks").cast("double") / F.col(
+        "n_chunks_a"
+    ).cast("double")
+    return (
+        pairs.join(sizes, pairs.a == sizes.id)
+        .filter(ratio >= F.lit(float(min_ratio)))
+        .select(
+            "a",
+            "b",
+            "shared_chunks",
+            "n_chunks_a",
+            F.round(ratio, 6).alias("containment"),
+        )
+    )

@@ -451,3 +451,17 @@ def host_components(
         hedges, a_col=src_col, b_col=dst_col, max_iterations=max_iterations
     )
     return comp.select(F.col("id").alias("host"), "component")
+
+
+SITEMAP_RE = r"(?m)^Sitemap: (\S+)"
+
+
+def sitemaps_expr(robots_txt: Column) -> Column:
+    """All ``Sitemap:`` directive urls in a robots.txt, in file order.
+    Unlike Allow/Disallow/Crawl-delay, Sitemap is GROUP-INDEPENDENT
+    (sitemaps.org / RFC 9309 §2.3 treats it as applying to the whole
+    file), so this scans the full text, not the UA-* section — the
+    crawl tier's sitemap-discovery feed."""
+    return F.regexp_extract_all(
+        F.coalesce(robots_txt, F.lit("")), F.lit(SITEMAP_RE), 1
+    )

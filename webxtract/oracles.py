@@ -2494,3 +2494,158 @@ reach(id, r) AS (
 )
 SELECT id AS host, min(r) AS component FROM reach GROUP BY id ORDER BY host
 """
+
+
+# contract.q_doc_containment twin: the _CHUNKS_CTE chunking (mod 8)
+# over the planted superset corpus, then set-dedup / df-cap / posting
+# self-join / a-side size join exactly as the engine. The ratio
+# filter compares the UNROUNDED int/int double on both sides (IEEE-
+# identical); output rounds to 6dp.
+ORACLES["doc_containment"] = """
+WITH d AS (
+  SELECT doc_id, trim(text) AS t FROM (
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 200000,
+           text || ' appended tail words for the containment fixture'
+    FROM documents WHERE doc_id < 100
+  ) WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(t, '\\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(t, '\\s+'), 1) AS pos
+  FROM d
+),
+flagged AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, w, pos,
+         1 + COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, cid, COUNT(*) AS n_tok,
+         string_agg(w, ' ' ORDER BY pos) AS chunk
+  FROM chunked GROUP BY doc_id, cid
+),
+sets AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash
+  FROM chunks WHERE n_tok >= 4
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_a
+  FROM sets GROUP BY 1 HAVING count(*) >= 3
+),
+dfc AS (
+  SELECT chunk_hash FROM sets GROUP BY 1 HAVING count(*) <= 100
+),
+posts AS (
+  SELECT s.doc_id, s.chunk_hash FROM sets s JOIN dfc USING (chunk_hash)
+),
+pr AS (
+  SELECT pa.doc_id AS a, pb.doc_id AS b,
+         CAST(count(*) AS BIGINT) AS shared_chunks
+  FROM posts pa JOIN posts pb USING (chunk_hash)
+  WHERE pa.doc_id <> pb.doc_id
+  GROUP BY 1, 2
+)
+SELECT pr.a, pr.b, pr.shared_chunks, sz.n_chunks_a,
+       round(pr.shared_chunks / sz.n_chunks_a::DOUBLE, 6) AS containment
+FROM pr JOIN sizes sz ON sz.doc_id = pr.a
+WHERE pr.shared_chunks / sz.n_chunks_a::DOUBLE >= 0.75
+ORDER BY a, b
+"""
+
+
+# contract.q_wat_records twin: the WAT metadata record rebuilt
+# byte-for-byte — same uuid derivations as the WET twin, the reduced
+# Envelope JSON with explicit escape chain (backslash then quote,
+# chr(92) spellings keep SQL-literal ambiguity out), planted title
+# with quotes, doc_id%9 null-title branch, and the two surviving
+# resolved links in document order (mailto dropped).
+ORACLES["wat_records"] = """
+WITH base AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS uri,
+         strftime(TIMESTAMP '2026-01-15 00:00:00'
+                  + (doc_id % 86400) * INTERVAL 1 SECOND,
+                  '%Y-%m-%dT%H:%M:%SZ') AS d,
+         CASE WHEN doc_id % 9 = 0 THEN NULL
+              ELSE 'Doc "' || CAST(doc_id AS VARCHAR) || '" - ' || source
+         END AS title,
+         'https://partner.example/r/' || CAST(doc_id AS VARCHAR) AS l1,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id % 50 AS VARCHAR) AS l2
+  FROM documents
+),
+esc AS (
+  SELECT *,
+         '"' || replace(replace(coalesce(title, ''), chr(92),
+                                chr(92) || chr(92)),
+                        '"', chr(92) || '"') || '"' AS jtitle
+  FROM base
+),
+pay AS (
+  SELECT doc_id, uri, d,
+         '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'
+         || uri || '","WARC-Date":"' || d
+         || '"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":'
+         || CASE WHEN title IS NULL THEN 'null' ELSE jtitle END
+         || '},"Links":["' || l1 || '","' || l2 || '"]}}}}' AS p
+  FROM esc
+),
+ids AS (
+  SELECT *,
+         md5(uri || chr(10) || 'metadata' || chr(10) || d) AS h1,
+         md5(uri || chr(10) || d) AS h2
+  FROM pay
+),
+rec AS (
+  SELECT doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: metadata' || chr(13) || chr(10)
+         || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+         || 'WARC-Date: ' || d || chr(13) || chr(10)
+         || 'WARC-Record-ID: <urn:uuid:' || substr(h1, 1, 8) || '-'
+            || substr(h1, 9, 4) || '-' || substr(h1, 13, 4) || '-'
+            || substr(h1, 17, 4) || '-' || substr(h1, 21, 12) || '>'
+            || chr(13) || chr(10)
+         || 'WARC-Refers-To: <urn:uuid:' || substr(h2, 1, 8) || '-'
+            || substr(h2, 9, 4) || '-' || substr(h2, 13, 4) || '-'
+            || substr(h2, 17, 4) || '-' || substr(h2, 21, 12) || '>'
+            || chr(13) || chr(10)
+         || 'Content-Type: application/json' || chr(13) || chr(10)
+         || 'Content-Length: ' || CAST(strlen(p) AS VARCHAR)
+            || chr(13) || chr(10) || chr(13) || chr(10)
+         || p || chr(13) || chr(10) || chr(13) || chr(10) AS r
+  FROM ids
+)
+SELECT doc_id,
+       CAST(strlen(r) AS INTEGER) AS rec_bytes,
+       md5(r) AS rec_md5
+FROM rec
+ORDER BY doc_id
+"""
+
+
+# contract.q_robots_sitemaps twin: planted values emitted directly.
+ORACLES["robots_sitemaps"] = """
+SELECT doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example/sitemap-'
+         || CAST(doc_id AS VARCHAR) || '.xml'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ',https://s.example/extra.xml' ELSE '' END AS sitemaps,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+         AS n_sitemaps
+FROM documents
+ORDER BY doc_id
+"""

@@ -604,3 +604,128 @@ def resolve_revisits(warc: DataFrame) -> DataFrame:
     )
     passthrough = resp.select(*warc.columns, F.lit(True).alias("resolved"))
     return passthrough.unionByName(resolved)
+
+
+def _json_str_expr(s: Column) -> Column:
+    """Minimal JSON string escape (backslash, then double-quote) via
+    literal replace — matching DuckDB's replace() byte-for-byte. The
+    WAT fields this serializes (urls, head metadata over the page
+    contract) cannot carry raw control characters: control chars are
+    stripped at extraction, and the url grammar excludes them; the
+    two replaced characters are the only JSON-mandatory escapes left."""
+    return F.concat(
+        F.lit('"'),
+        F.replace(F.replace(s, F.lit("\\"), F.lit("\\\\")),
+                  F.lit('"'), F.lit('\\"')),
+        F.lit('"'),
+    )
+
+
+def wat_record_expr(
+    uri: Column, warc_ts: Column, title: Column, links: Column
+) -> Column:
+    """The WAT metadata record (the third Common-Crawl product next to
+    WARC and WET): one ``WARC-Type: metadata`` record per page whose
+    JSON payload carries the envelope header echo plus parsed HTML
+    metadata — head title and the resolved outlink list. Reduced
+    envelope (CC's full WAT adds HTTP headers and per-link attributes)
+    but structurally faithful: Envelope -> WARC-Header-Metadata +
+    Payload-Metadata -> HTML-Metadata -> {Head:{Title}, Links:[...]}.
+
+    The JSON is built as a PURE string expression (no to_json — its
+    serializer's escaping/field-order would have to match a second
+    engine's; explicit concat makes both engines write the same bytes
+    by construction). NULL title serializes as ``null``;
+    ``WARC-Refers-To`` links back to the response capture by the same
+    deterministic id derivation as the WET sink. Zero shuffles, zero
+    Python — the whole record is one codegen'd concat per row."""
+    d = F.coalesce(
+        F.date_format(warc_ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("1970-01-01T00:00:00Z"),
+    )
+    rec_id = _uuid_expr(
+        F.md5(F.concat(uri, F.lit("\nmetadata\n"), d).cast("binary"))
+    )
+    refers = _uuid_expr(F.md5(F.concat(uri, F.lit("\n"), d).cast("binary")))
+    payload = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":'),
+        _json_str_expr(uri),
+        F.lit(',"WARC-Date":"'), d,
+        F.lit('"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":'),
+        F.coalesce(_json_str_expr(title), F.lit("null")),
+        F.lit('},"Links":['),
+        F.array_join(
+            F.transform(
+                F.coalesce(links, F.array().cast("array<string>")),
+                _json_str_expr,
+            ),
+            ",",
+        ),
+        F.lit("]}}}}"),
+    )
+    from webxtract.exprs import bind_once
+
+    return bind_once(
+        payload,
+        lambda p: F.concat(
+            F.lit("WARC/1.0" + _CRLF),
+            F.lit("WARC-Type: metadata" + _CRLF),
+            F.lit("WARC-Target-URI: "), uri, F.lit(_CRLF),
+            F.lit("WARC-Date: "), d, F.lit(_CRLF),
+            F.lit("WARC-Record-ID: "), rec_id, F.lit(_CRLF),
+            F.lit("WARC-Refers-To: "), refers, F.lit(_CRLF),
+            F.lit("Content-Type: application/json" + _CRLF),
+            F.lit("Content-Length: "), F.octet_length(p).cast("string"),
+            F.lit(_CRLF + _CRLF),
+            p,
+            F.lit(_CRLF + _CRLF),
+        ),
+    )
+
+
+def write_wat_segments(
+    df: DataFrame, out_dir: str, run_date_iso: str, prefix: str = "seg"
+) -> DataFrame:
+    """Distributed WAT sink — the metadata twin of write_wet_segments:
+    each task serializes its partition of ``wat_record`` strings into
+    one ``{prefix}-{pid:05d}.warc.wat.gz`` of per-record gzip members
+    (mtime=0), headed by a warcinfo record. Returns the manifest
+    (wat_file, n_records, n_bytes). Same scale contract: mapInPandas
+    over only the record column, upstream partitioning controls
+    segment sizing, no shuffle added here."""
+    import os
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    schema = "wat_file string, n_records long, n_bytes long"
+
+    def write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        name = f"{prefix}-{pid:05d}.warc.wat.gz"
+        path = os.path.join(out_dir, name)
+        fh = None
+        n = 0
+        for pdf in batches:
+            if fh is None:
+                os.makedirs(out_dir, exist_ok=True)
+                fh = open(path, "wb")
+                fh.write(
+                    gzip.compress(wet_warcinfo_record(name, run_date_iso), mtime=0)
+                )
+            for rec in pdf["wat_record"]:
+                fh.write(gzip.compress(rec.encode("utf-8"), mtime=0))
+                n += 1
+        if fh is None:
+            yield pd.DataFrame(
+                [], columns=["wat_file", "n_records", "n_bytes"]
+            ).astype({"n_records": "int64", "n_bytes": "int64"})
+            return
+        fh.close()
+        yield pd.DataFrame(
+            [(name, n, os.path.getsize(path))],
+            columns=["wat_file", "n_records", "n_bytes"],
+        )
+
+    return df.select("wat_record").mapInPandas(write, schema=schema)
