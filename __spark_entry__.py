@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dups": wrap(c.q_chunk_dups),
         "chunk_dedup": wrap(c.q_chunk_dedup),
         "doc_containment": wrap(c.q_doc_containment),
+        "classifier_score": wrap(c.q_classifier_score),
+        "shard_assign": wrap(c.q_shard_assign),
         "temperature_mix": wrap(c.q_temperature_mix),
         "chunk_tokens": wrap(c.q_chunk_tokens),
         # link graph
@@ -129,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": wrap(c.q_bm25),
         "robots_filter": wrap(c.q_robots_filter),
         "robots_sitemaps": wrap(c.q_robots_sitemaps),
+        "sitemap_entries": wrap(c.q_sitemap_entries),
         "pagerank_hosts": wrap(c.q_pagerank_hosts),
         "frontier_schedule": wrap(c.q_frontier_schedule),
         "host_components": wrap(c.q_host_components),

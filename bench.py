@@ -225,6 +225,9 @@ def main() -> None:
         ("doc_containment", contract.q_doc_containment),
         ("wat_records", contract.q_wat_records),
         ("robots_sitemaps", contract.q_robots_sitemaps),
+        ("classifier_score", contract.q_classifier_score),
+        ("shard_assign", contract.q_shard_assign),
+        ("sitemap_entries", contract.q_sitemap_entries),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

@@ -833,3 +833,82 @@ def test_stratified_keep_per_stratum_ties(spark):
     )
     # en pct_ranks: 10->0, 20->1/3, 30->2/3, 40->1; >= 0.5 keeps 30,40
     assert got == [3, 4, 7]
+
+
+def test_classifier_score_matches_manual_sigmoid(spark):
+    """The hashed linear classifier reproduces a hand-computed
+    logit/sigmoid on a tiny fixture, scores stay in (0,1), and the
+    keep flag is exactly (rounded score >= threshold)."""
+    import hashlib
+    import math
+
+    from webxtract.curation import classifier_score_expr, classifier_weights
+
+    w = classifier_weights(64)
+
+    def manual(text: str) -> tuple[int, float]:
+        toks = text.strip().split()
+        feats = toks + [
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        ]
+        total = 0.0
+        for f_ in feats:
+            h = int(hashlib.md5(f_.encode()).hexdigest()[:15], 16)
+            total += w[h % 64]
+        logit = -0.1 + total / len(feats)
+        return len(feats), round(1.0 / (1.0 + math.exp(-logit)), 6)
+
+    rows = [(1, "the quick brown fox"), (2, "a b a b a b"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = classifier_score_expr(F.col("text"), w)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["clf_score"], r["clf_keep"])
+        for r in df.select("doc_id", c.alias("c"))
+        .select("doc_id", "c.*")
+        .collect()
+    }
+    for doc_id, text in rows:
+        n, s = manual(text)
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == s
+        assert 0.0 < got[doc_id][1] < 1.0
+        assert got[doc_id][2] == (s >= 0.5)
+
+
+def test_classifier_score_empty_and_null_text_agree(spark):
+    """NULL and empty text take the same degenerate single-feature
+    path (the '' token) — same score, no crash, no NULL verdict."""
+    from webxtract.curation import classifier_score_expr, classifier_weights
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    c = classifier_score_expr(F.col("text"), classifier_weights(64))
+    rows = df.select("doc_id", c.alias("c")).select("doc_id", "c.*").collect()
+    scores = {r["doc_id"]: (r["n_feats"], r["clf_score"]) for r in rows}
+    assert scores[1] == scores[2] == scores[3]
+    assert all(r["clf_keep"] is not None for r in rows)
+
+
+def test_shard_assign_manifest_invariants(spark):
+    """Within every shard: pos is contiguous from 1, tok_offset is the
+    exclusive prefix sum of n_tokens, and the assignment is identical
+    under a different input partitioning (determinism)."""
+    from webxtract.curation import shard_assign
+
+    rows = [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shard_assign(df, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == 100
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["pos"])
+        assert [m["pos"] for m in members] == list(range(1, len(members) + 1))
+        run = 0
+        for m in members:
+            assert m["tok_offset"] == run
+            run += m["n_tokens"]
+    out2 = shard_assign(df.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -324,3 +324,43 @@ def test_host_components_clusters_and_singleton_loop(spark):
         "y.example": "x.example",
         "z.example": "z.example",
     }
+
+
+def test_sitemap_entries_block_scoped_lastmod(spark):
+    """lastmod attaches only to its OWN <url> block; loc whitespace is
+    trimmed; a sitemapindex yields children but zero url entries; junk
+    input yields empty arrays, not NULLs."""
+    from webxtract.linkgraph import sitemap_children_expr, sitemap_entries_expr
+
+    urlset = (
+        "<urlset><url><loc> https://a.example/1 </loc>"
+        "<lastmod>2026-02-01</lastmod></url>"
+        "<url><loc>https://a.example/2</loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>"
+        "</sitemap><sitemap><loc> https://a.example/s2.xml </loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "not xml"), (4, None)],
+        "id long, xml string",
+    )
+    got = {
+        r["id"]: (r["e"], r["c"])
+        for r in df.select(
+            "id",
+            sitemap_entries_expr(F.col("xml")).alias("e"),
+            sitemap_children_expr(F.col("xml")).alias("c"),
+        ).collect()
+    }
+    e1 = got[1][0]
+    assert [x["loc"] for x in e1] == [
+        "https://a.example/1", "https://a.example/2"
+    ]
+    assert e1[0]["lastmod"] == "2026-02-01" and e1[1]["lastmod"] is None
+    assert got[1][1] == []
+    assert got[2][0] == [] and got[2][1] == [
+        "https://a.example/s1.xml", "https://a.example/s2.xml"
+    ]
+    assert got[3] == ([], []) and got[4] == ([], [])

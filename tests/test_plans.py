@@ -557,3 +557,34 @@ def test_robots_sitemaps_is_narrow(spark):
     plan = _plan(q_robots_sitemaps(spark, TESTDATA).limit(5))
     assert _nodes(plan, "Exchange") == 0
     assert "EvalPython" not in plan
+
+
+def test_classifier_score_is_narrow(spark):
+    """Model serving is one map pass: zero exchanges (bar the output
+    sort), zero Python, zero joins — the weight table is a literal."""
+    from webxtract.contract import q_classifier_score
+
+    plan = _plan(q_classifier_score(spark, TESTDATA).limit(5))
+    assert _nodes(plan, "Exchange") == 0
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_shard_assign_text_never_shuffles(spark):
+    """The shard window shuffles (id, shard, hash, n_tokens) only —
+    no Exchange carries the text column, and there is no join."""
+    from webxtract.contract import q_shard_assign
+
+    plan = _plan(q_shard_assign(spark, TESTDATA))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", plan):
+        assert not re.search(r"\btext#\d", m.group(0))
+
+
+def test_sitemap_entries_is_narrow(spark):
+    from webxtract.contract import q_sitemap_entries
+
+    plan = _plan(q_sitemap_entries(spark, TESTDATA).limit(5))
+    assert _nodes(plan, "Exchange") == 0
+    assert "EvalPython" not in plan

@@ -1766,3 +1766,77 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(sm, ",").alias("sitemaps"),
         F.size(sm).alias("n_sitemaps"),
     ).orderBy("doc_id")
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier serving (the model-based
+    filter of FineWeb-Edu/CCNet-style curation): unigram+bigram
+    features hashed into 64 buckets, closed-form exact-double weight
+    table, logit = bias + feature-mean, sigmoid rounded to 6dp BEFORE
+    the keep comparison so libm exp() drift cannot flip verdicts. The
+    oracle folds the identical feature list in the identical order."""
+    from webxtract.curation import classifier_score_expr, classifier_weights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = classifier_score_expr(F.col("text"), classifier_weights(64))
+    return d.select("doc_id", c.alias("c")).select(
+        "doc_id", "c.n_feats", "c.clf_score", "c.clf_keep"
+    ).orderBy("doc_id")
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global-shuffle shard manifest: md5-60(doc_id)
+    mod 8 shards, within-shard position and exclusive token prefix-sum
+    under the (hash, id) pseudo-random order — DuckDB runs the same
+    window over the same hash."""
+    from webxtract.curation import shard_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shard_assign(d, n_shards=8).orderBy("shard", "pos")
+
+
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml parsing over planted per-doc fixtures: doc_id%4==0
+    rows are a <sitemapindex> with two child sitemaps (no url
+    entries); the rest are a <urlset> with two <url> entries — the
+    first with whitespace-padded <loc> and a <lastmod>, the second
+    bare (lastmod must stay NULL: block-scoped extraction). The oracle
+    rebuilds the same XML and parses with the same RE2 regexes."""
+    from webxtract.linkgraph import sitemap_children_expr, sitemap_entries_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://h'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"), did,
+        F.lit(" </loc><lastmod>2026-01-"), day,
+        F.lit("</lastmod></url><url><loc>https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"), did,
+        F.lit("?page=2</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://s.example/a-"), did,
+        F.lit(".xml</loc></sitemap><sitemap><loc> https://s.example/b-"),
+        did, F.lit(".xml </loc></sitemap></sitemapindex>"),
+    )
+    xml = F.when(F.col("doc_id") % 4 == 0, index).otherwise(urlset)
+    ent = sitemap_entries_expr(xml)
+    ch = sitemap_children_expr(xml)
+    return d.select(
+        "doc_id",
+        F.size(ent).alias("n_entries"),
+        F.array_join(
+            F.transform(
+                ent,
+                lambda e: F.concat_ws(
+                    "@", e["loc"], F.coalesce(e["lastmod"], F.lit("-"))
+                ),
+            ),
+            ",",
+        ).alias("entries"),
+        F.size(ch).alias("n_children"),
+        F.array_join(ch, ",").alias("children"),
+    ).orderBy("doc_id")

@@ -1288,3 +1288,135 @@ def stratified_keep(
             "pct_rank",
         )
     )
+
+
+def classifier_weights(n_buckets: int = 64) -> list[float]:
+    """Deterministic stand-in weight table for the hashed linear
+    classifier: w[j] = ((37*j mod n) - (n/2 - 0.5)) / n. Every term is
+    a small integer or a power-of-two-denominator rational, so the
+    doubles are EXACT and identical however each engine computes them
+    (the k-means/LSH lesson: closed-form literals, never RNG). A real
+    deployment swaps in trained fastText/logistic weights — the
+    serving plan below is identical either way."""
+    return [
+        ((37 * j) % n_buckets - (n_buckets / 2 - 0.5)) / n_buckets
+        for j in range(n_buckets)
+    ]
+
+
+def classifier_score_expr(
+    text: Column,
+    weights: list[float],
+    bias: float = -0.1,
+    n_buckets: int = 64,
+    threshold: float = 0.5,
+) -> Column:
+    """FastText-style hashed linear quality classifier serving — the
+    model-based filter step of FineWeb-Edu / CCNet / Llama-style
+    curation (score every document with a cheap linear model, keep
+    above a threshold) with the TRAINED model abstracted to a literal
+    weight table: features are all unigrams + all bigrams (document
+    order, multiplicity kept — fastText's word + wordNgrams=2 feature
+    set) hashed into ``n_buckets``; logit = bias + mean(w[bucket(f)])
+    (fastText averages feature vectors); score = sigmoid(logit);
+    ``clf_keep`` compares the 6dp-ROUNDED score to the threshold so
+    last-ulp libm drift in exp() cannot flip the verdict between
+    engines.
+
+    Scale shape: the weight table ships once as an array literal and
+    the whole classifier is a ZERO-shuffle, zero-join, zero-Python
+    deterministic left fold — scoring 10^12 documents is one map pass,
+    embarrassingly parallel, the same serving plan as dsir_score_exprs.
+    The unigram leg always yields >= 1 feature (empty text tokenizes
+    to ['']), so the mean never divides by zero — and both engines
+    agree on that degenerate feature by construction."""
+    from webxtract.exprs import bind_once
+    from webxtract.textops import (
+        stable_hash60_expr,
+        tokens_expr,
+        word_grams_expr,
+    )
+
+    padded = F.coalesce(text, F.lit(""))
+    feats = F.concat(tokens_expr(padded), word_grams_expr(padded, 2))
+    w = F.lit([float(x) for x in weights])
+
+    def mk(fts: Column) -> dict[str, Column]:
+        total = F.aggregate(
+            fts,
+            F.lit(0.0),
+            lambda acc, g: acc
+            + F.element_at(
+                w,
+                (F.pmod(stable_hash60_expr(g), F.lit(n_buckets)) + 1).cast(
+                    "int"
+                ),
+            ),
+        )
+        logit = F.lit(float(bias)) + total / F.size(fts).cast("double")
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        return {
+            "n_feats": F.size(fts).cast("long"),
+            "clf_score": score,
+            "clf_keep": score >= F.lit(float(threshold)),
+        }
+
+    # bind_once: the feature array feeds three outputs; without the
+    # bind Spark would re-derive the tokenize+gram tree per output
+    return bind_once(feats, lambda fts: F.struct(*[
+        v.alias(k) for k, v in mk(fts).items()
+    ]))
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic global-shuffle shard assignment — the last step
+    before a training-data writer: every document gets ``(shard, pos,
+    tok_offset)`` where shard = md5-60(id) mod n_shards, ``pos`` is
+    the document's 1-based position within its shard under the
+    pseudo-random (hash, id) order, and ``tok_offset`` is the
+    EXCLUSIVE prefix-sum of whitespace-token counts before it — the
+    manifest a pack-and-write task needs to serialize its shard and
+    to address any document inside it. Content-independent hashing of
+    the id gives the standard "shuffled once, deterministically"
+    training order: reproducible across runs and partitionings, no
+    RNG, and documents from one host scatter across shards.
+
+    Scale shape: one hash projection, then ONE window per shard
+    partitioned on the shard key. A shard's rows deliberately land in
+    a single window partition — the shard IS the unit one writer task
+    must serialize in order anyway, so ``n_shards`` is chosen as
+    corpus_tokens / shard_token_budget (10^4-10^6 shards at 100 TB,
+    each task-sized); the window adds nothing beyond the sort the
+    writer needs. Payload through the exchange is (id, shard, hash,
+    n_tokens) — the text column never shuffles."""
+    from pyspark.sql import Window
+
+    from webxtract.textops import stable_hash60_expr, token_count_expr
+
+    h = stable_hash60_expr(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("__h"),
+        token_count_expr(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", "id")
+    return base.select(
+        "id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        "n_tokens",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("tok_offset"),
+    )

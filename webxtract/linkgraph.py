@@ -465,3 +465,41 @@ def sitemaps_expr(robots_txt: Column) -> Column:
     return F.regexp_extract_all(
         F.coalesce(robots_txt, F.lit("")), F.lit(SITEMAP_RE), 1
     )
+
+
+def sitemap_entries_expr(xml: Column) -> Column:
+    """Parsed ``<url>`` entries of a sitemap.xml (sitemaps.org
+    protocol) as ``ARRAY<STRUCT<loc, lastmod>>`` in file order: loc is
+    whitespace-trimmed, lastmod is NULL when the optional tag is
+    absent. Regex-scoped per ``<url>`` block so a lastmod can never be
+    attributed to a neighboring entry. Pure narrow expressions — the
+    crawl tier parses millions of fetched sitemaps as one map pass."""
+    blocks = F.regexp_extract_all(
+        F.coalesce(xml, F.lit("")), F.lit(r"(?s)<url>(.*?)</url>"), 1
+    )
+    loc_re = r"(?s)<loc>\s*(.*?)\s*</loc>"
+    lm_re = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+
+    def entry(b: Column) -> Column:
+        lm = F.regexp_extract(b, lm_re, 1)
+        return F.struct(
+            F.regexp_extract(b, loc_re, 1).alias("loc"),
+            F.when(lm != "", lm).alias("lastmod"),
+        )
+
+    return F.transform(blocks, entry)
+
+
+def sitemap_children_expr(xml: Column) -> Column:
+    """Child-sitemap locs of a ``<sitemapindex>`` file in file order —
+    empty array for a plain urlset, so one expression classifies and
+    expands both sitemap kinds (index files recurse through the
+    frontier like any other fetch)."""
+    return F.transform(
+        F.regexp_extract_all(
+            F.coalesce(xml, F.lit("")),
+            F.lit(r"(?s)<sitemap>(.*?)</sitemap>"),
+            1,
+        ),
+        lambda b: F.regexp_extract(b, r"(?s)<loc>\s*(.*?)\s*</loc>", 1),
+    )

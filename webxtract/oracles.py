@@ -2649,3 +2649,112 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# contract.q_classifier_score twin: identical unigram+bigram feature
+# list (tokens then bigrams, document order), identical md5-60 bucket
+# hash, the same exact-double weight table w[j]=((37j mod 64)-31.5)/64
+# built from integer arithmetic, in-order list_sum for the fold, and
+# the 6dp round applied BEFORE the keep comparison on both sides.
+ORACLES["classifier_score"] = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_concat(tk,
+           CASE WHEN len(tk) >= 2
+                THEN list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i + 1])
+                ELSE [] END) AS fs
+  FROM toks
+),
+w AS (
+  SELECT list(((37 * j) % 64 - 31.5) / 64.0 ORDER BY j) AS wl
+  FROM (SELECT unnest(range(0, 64)) AS j)
+),
+scored AS (
+  SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+         round(1.0 / (1.0 + exp(-(-0.1 +
+           list_sum(list_transform(fs,
+             x -> wl[CAST((('0x' || substr(md5(x), 1, 15))::BIGINT % 64)
+                     AS INTEGER) + 1]))
+           / len(fs)))), 6) AS clf_score
+  FROM feats CROSS JOIN w
+)
+SELECT doc_id, n_feats, clf_score, clf_score >= 0.5 AS clf_keep
+FROM scored ORDER BY doc_id
+"""
+
+
+# contract.q_shard_assign twin: same md5-60(id-as-string) hash, same
+# mod-8 shard, same (hash, id) window order; the exclusive prefix sum
+# casts DuckDB's HUGEINT sum back to BIGINT to match Spark's long.
+ORACLES["shard_assign"] = """
+WITH base AS (
+  SELECT doc_id AS id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+           AS n_tok
+  FROM documents
+)
+SELECT id,
+       CAST(h % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER won AS INTEGER) AS pos,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(n_tok) OVER (
+         PARTITION BY h % 8 ORDER BY h, id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS tok_offset
+FROM base
+WINDOW won AS (PARTITION BY h % 8 ORDER BY h, id)
+ORDER BY shard, pos
+"""
+
+
+# contract.q_sitemap_entries twin: rebuilds the identical planted XML
+# (urlset with padded-loc + lastmod first entry and bare second entry;
+# sitemapindex for doc_id%4==0) and parses it with the same (?s) RE2
+# block regexes — loc trimmed, lastmod NULL when the tag is absent in
+# ITS OWN block, '-' placeholder in the joined projection.
+ORACLES["sitemap_entries"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+           '<sitemapindex><sitemap><loc>https://s.example/a-' || CAST(doc_id AS VARCHAR) ||
+           '.xml</loc></sitemap><sitemap><loc> https://s.example/b-' ||
+           doc_id || '.xml </loc></sitemap></sitemapindex>'
+         ELSE
+           '<?xml version="1.0"?><urlset><url><loc> https://h' ||
+           (doc_id % 7) || '.example/p/' || CAST(doc_id AS VARCHAR) ||
+           ' </loc><lastmod>2026-01-' ||
+           lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') ||
+           '</lastmod></url><url><loc>https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+           '.example/p/' || CAST(doc_id AS VARCHAR) || '?page=2</loc></url></urlset>'
+         END AS xml
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+         regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS blocks,
+         regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)
+           AS sblocks
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(blocks) AS INTEGER) AS n_entries,
+       coalesce(list_aggregate(list_transform(blocks, b ->
+         regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) || '@' ||
+         CASE WHEN regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)
+                   <> ''
+              THEN regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)
+              ELSE '-' END
+       ), 'string_agg', ','), '') AS entries,
+       CAST(len(sblocks) AS INTEGER) AS n_children,
+       coalesce(list_aggregate(list_transform(sblocks, b ->
+         regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)
+       ), 'string_agg', ','), '') AS children
+FROM parsed ORDER BY doc_id
+"""
