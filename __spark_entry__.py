@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_records": wrap(c.q_wat_records),
         "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
         "html_metadata": wrap(c.q_html_metadata),
+        "structured_metadata": wrap(c.q_structured_metadata),
         "extract_pdf_roundtrip": wrap(c.q_extract_pdf_roundtrip),
         "page_concat_e5": wrap(c.q_page_concat_e5),
         "pdf_page_explode": wrap(c.q_pdf_page_explode),

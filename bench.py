@@ -228,6 +228,7 @@ def main() -> None:
         ("classifier_score", contract.q_classifier_score),
         ("shard_assign", contract.q_shard_assign),
         ("sitemap_entries", contract.q_sitemap_entries),
+        ("structured_metadata", contract.q_structured_metadata),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

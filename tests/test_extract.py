@@ -237,3 +237,38 @@ def test_media_normalize(spark):
     assert bytes(got["png"]["payload"]) == MAGIC["png"] + b"pngdata"  # untouched
     assert got["jpeg"]["media_type"] == "image/jpeg"
     assert got["junk"]["media_type"] == "application/octet-stream"
+
+
+def test_structured_metadata_garbage_and_null_safe(spark):
+    """NULL html, non-UTF8 bytes, and pages with no OG/JSON-LD all
+    degrade to ''/0 — never NULL, never an error; a real OG+two-block
+    JSON-LD page parses every field."""
+    from pyspark.sql import functions as F
+
+    from webxtract.ops.extract_html import structured_metadata_exprs
+
+    good = (
+        '<html><head><meta property="og:title" content="T">'
+        '<meta property="og:image" content="https://i.example/x.png">'
+        '<meta property="article:published_time" content="2026-02-01T00:00:00Z">'
+        '<script type="application/ld+json">{"@type":"NewsArticle"}</script>'
+        '<script type="application/ld+json">{"@type":"Org"}</script>'
+        "</head><body>b</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, good.encode()), (2, None), (3, b"\xff\xfe junk"), (4, b"<p>x</p>")],
+        "id long, html binary",
+    )
+    m = structured_metadata_exprs(F.col("html"))
+    got = {
+        r["id"]: r.asDict()
+        for r in df.select("id", *[v.alias(k) for k, v in m.items()]).collect()
+    }
+    assert got[1]["og_title"] == "T"
+    assert got[1]["og_image"] == "https://i.example/x.png"
+    assert got[1]["published_time"] == "2026-02-01T00:00:00Z"
+    assert got[1]["n_jsonld"] == 2
+    assert got[1]["jsonld_type"] == "NewsArticle"
+    for i in (2, 3, 4):
+        assert got[i]["og_title"] == "" and got[i]["n_jsonld"] == 0
+        assert got[i]["jsonld_type"] == "" and got[i]["published_time"] == ""

@@ -588,3 +588,11 @@ def test_sitemap_entries_is_narrow(spark):
     plan = _plan(q_sitemap_entries(spark, TESTDATA).limit(5))
     assert _nodes(plan, "Exchange") == 0
     assert "EvalPython" not in plan
+
+
+def test_structured_metadata_is_narrow(spark):
+    from webxtract.contract import q_structured_metadata
+
+    plan = _plan(q_structured_metadata(spark, TESTDATA).limit(5))
+    assert _nodes(plan, "Exchange") == 0
+    assert "EvalPython" not in plan

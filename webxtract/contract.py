@@ -1840,3 +1840,49 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ch).alias("n_children"),
         F.array_join(ch, ",").alias("children"),
     ).orderBy("doc_id")
+
+
+def q_structured_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph / article-published-time / JSON-LD sidecar over
+    deterministically planted HTML: og:image + published_time exist
+    only for doc_id%3==0, JSON-LD blocks for doc_id%4!=1 (a second
+    block when doc_id%8==0), og:description is never planted (the
+    empty-string contract). The oracle emits the planted values
+    directly — a parse-vs-construction check, like html_metadata."""
+    from webxtract.ops.extract_html import structured_metadata_exprs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    did = F.col("doc_id").cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="OG '), did,
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:image" content="https://img.example/'),
+                did, F.lit('.jpg">'),
+                F.lit('<meta property="article:published_time" content="2026-01-'),
+                day, F.lit('T08:00:00Z">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<meta property="og:type" content="article">'),
+        F.when(
+            F.col("doc_id") % 4 != 1,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@context":"https://schema.org","@type":"Article",'
+                      '"headline":"H '), did, F.lit('"}</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Organization"}</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"), F.col("text"), F.lit("</body></html>"),
+    )
+    m = structured_metadata_exprs(F.encode(html, "utf-8"))
+    return d.select(
+        "doc_id", *[m[k].alias(k) for k in sorted(m)]
+    ).orderBy("doc_id")

@@ -192,3 +192,50 @@ def html_metadata_exprs(html):  # noqa: ANN001, ANN201
         "html_lang": F.regexp_extract(s, r'<html[^>]*\blang="([^"]*)"', 1),
         "n_links": F.regexp_count(s, F.lit("<a ")).cast("int"),
     }
+
+
+def structured_metadata_exprs(html):  # noqa: ANN001, ANN201
+    """Social/semantic structured-metadata sidecar: OpenGraph
+    properties (og:title / og:description / og:image / og:type),
+    article publication time (the ``article:published_time`` OG tag,
+    the dominant publication-date carrier on the modern web), and
+    JSON-LD presence — the count of ``application/ld+json`` script
+    blocks plus the first block's ``@type``. These drive dedup keys
+    (og:image/url clustering), recency weighting (published_time) and
+    page-kind routing (Article vs Product vs ...) in a crawl tier.
+
+    Pure JVM regex expressions over the raw bytes — no DOM build, no
+    UDF, no shuffle; parsing 10^12 pages is one map pass. NULL/garbage
+    html degrades to empty strings / 0 counts, never an error. Empty
+    extractions stay '' (not NULL) to match html_metadata_exprs'
+    contract."""
+    from pyspark.sql import functions as F
+
+    s = F.coalesce(html.cast("string"), F.lit(""))
+
+    def og(prop: str):  # noqa: ANN202
+        return F.regexp_extract(
+            s,
+            r'<meta property="og:' + prop + r'" content="([^"]*)"',
+            1,
+        )
+
+    ld_re = (
+        r'(?s)<script type="application/ld\+json">(.*?)</script>'
+    )
+    first_ld = F.regexp_extract(s, ld_re, 1)
+    return {
+        "og_title": og("title"),
+        "og_description": og("description"),
+        "og_image": og("image"),
+        "og_type": og("type"),
+        "published_time": F.regexp_extract(
+            s,
+            r'<meta property="article:published_time" content="([^"]*)"',
+            1,
+        ),
+        "n_jsonld": F.regexp_count(s, F.lit(ld_re)).cast("int"),
+        "jsonld_type": F.regexp_extract(
+            first_ld, r'"@type"\s*:\s*"([^"]*)"', 1
+        ),
+    }

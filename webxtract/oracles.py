@@ -2758,3 +2758,26 @@ SELECT doc_id,
        ), 'string_agg', ','), '') AS children
 FROM parsed ORDER BY doc_id
 """
+
+
+# contract.q_structured_metadata twin: emits the PLANTED values
+# directly (parse-vs-construction, the html_metadata pattern) — the
+# engine must recover exactly what the fixture embedded.
+ORACLES["structured_metadata"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 <> 1 THEN 'Article' ELSE '' END AS jsonld_type,
+       CAST(CASE WHEN doc_id % 4 <> 1
+                 THEN 1 + CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END
+                 ELSE 0 END AS INTEGER) AS n_jsonld,
+       '' AS og_description,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'https://img.example/' || CAST(doc_id AS VARCHAR) || '.jpg'
+            ELSE '' END AS og_image,
+       'OG ' || CAST(doc_id AS VARCHAR) AS og_title,
+       'article' AS og_type,
+       CASE WHEN doc_id % 3 = 0
+            THEN '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                 || 'T08:00:00Z'
+            ELSE '' END AS published_time
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+"""
