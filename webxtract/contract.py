@@ -1774,10 +1774,20 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     features hashed into 64 buckets, closed-form exact-double weight
     table, logit = bias + feature-mean, sigmoid rounded to 6dp BEFORE
     the keep comparison so libm exp() drift cannot flip verdicts. The
-    oracle folds the identical feature list in the identical order."""
+    oracle folds the identical feature list in the identical order.
+
+    The input repartition is a sandbox-layout fixture, not part of the
+    operator (same note as q_repetition_signals): the testdata table is
+    ONE parquet row group, so the ~28µs/doc tokenize+hash scan would
+    otherwise run as a single task. The operator itself stays
+    exchange-free."""
     from webxtract.curation import classifier_score_expr, classifier_weights
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32)
+    )
     c = classifier_score_expr(F.col("text"), classifier_weights(64))
     return d.select("doc_id", c.alias("c")).select(
         "doc_id", "c.n_feats", "c.clf_score", "c.clf_keep"
