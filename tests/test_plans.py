@@ -560,12 +560,28 @@ def test_robots_sitemaps_is_narrow(spark):
 
 
 def test_classifier_score_is_narrow(spark):
-    """Model serving is one map pass: zero exchanges (bar the output
-    sort), zero Python, zero joins — the weight table is a literal."""
+    """Model serving is one map pass: zero Python, zero joins — the
+    weight table is a literal. The OPERATOR adds zero exchanges (first
+    assert, on its own plan); the contract query additionally carries
+    the documented single-row-group fixture repartition, nothing
+    else."""
+    from pyspark.sql import functions as F
+
     from webxtract.contract import q_classifier_score
+    from webxtract.curation import classifier_score_expr, classifier_weights
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    op_plan = _plan(
+        df.select(
+            classifier_score_expr(F.col("text"), classifier_weights(64))
+        )
+    )
+    assert _nodes(op_plan, "Exchange") == 0
+    assert "EvalPython" not in op_plan
+    assert "Join" not in op_plan
 
     plan = _plan(q_classifier_score(spark, TESTDATA).limit(5))
-    assert _nodes(plan, "Exchange") == 0
+    assert _nodes(plan, "Exchange") <= 1  # input fixture repartition
     assert "EvalPython" not in plan
     assert "Join" not in plan
 
