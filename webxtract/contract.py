@@ -450,6 +450,40 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained hashed-NB language ID (textops.lang_id_clf_expr) over
+    documents with their OWN lang column's stopwords planted — the
+    sandbox corpus text is language-neutral filler, so the plant gives
+    the model a recoverable signal (same plant pattern as
+    q_pii_redaction). The weight tables were fitted offline and
+    deterministically by scripts/fit_lang_clf.py; serving is one
+    zero-shuffle literal-table fold per language. The DuckDB oracle
+    folds the identical bucket sequence through the identical weight
+    literals."""
+    from webxtract.textops import LANG_STOPWORDS, lang_id_clf_expr
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = F.create_map(
+        *[
+            x
+            for lang, words in LANG_STOPWORDS.items()
+            for x in (F.lit(lang), F.lit(" ".join(words)))
+        ]
+    )
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" "),
+        F.coalesce(F.element_at(suffix, F.col("lang")), F.lit("")),
+    )
+    r = lang_id_clf_expr(planted)
+    return d.select("doc_id", "lang", r.alias("r")).select(
+        "doc_id",
+        "lang",
+        F.col("r.predicted_lang").alias("predicted_lang"),
+        F.col("r.lang_score").alias("lang_score"),
+    ).orderBy("doc_id")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -892,6 +926,166 @@ def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inc = base.unionByName(near)
     return dedup.near_dedup_increment(inc, seen).orderBy("doc_id")
+
+
+def _twin_pages(d: DataFrame, url: F.Column, text: F.Column, ts: str) -> DataFrame:
+    """Project a documents slice onto the PAGES_SCHEMA contract for the
+    streaming twins (url string, warc_ts, html NULL, text, lang)."""
+    return d.select(
+        url.cast("string").alias("url"),
+        F.lit(ts).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        text.alias("text"),
+        F.col("lang"),
+    )
+
+
+def _run_available_now(q) -> None:  # noqa: ANN001
+    """Wait out an AvailableNow stream run (it self-terminates)."""
+    q.awaitTermination(600)
+
+
+def q_exact_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``streaming.start_dedup_stream`` /
+    dropDuplicatesWithinWatermark) run END-TO-END as two real
+    AvailableNow stream increments with a checkpoint RESTART between
+    them — the driver-visible twin of the pytest-only streaming leg.
+
+    Drop 1 (ts 12:00): documents < 500 with per-doc unique texts
+    (suffix ' #<doc_id>') — all 500 survive. Drop 2 (ts 13:00, a
+    SEPARATE stream run resuming the same checkpoint, so dedup state
+    must survive the restart): exact copies of doc_id%10==0 at url
+    doc_id+100000 (all suppressed by run-1 state) plus fresh texts
+    (' #new<doc_id>') for doc_id%10==5 at url doc_id+200000 (all
+    survive). Every duplicate pair spans the two drops, so keep-first
+    is deterministic and the DuckDB oracle reproduces the survivor set
+    in closed form. The committed sink is collected (bounded: 550
+    rows) into an in-memory frame so the sandbox temp sink can be
+    removed eagerly — correctness twin only, never a bench path."""
+    import shutil
+    import tempfile
+
+    from webxtract.streaming import start_dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="webxtract_twin_exact_")
+    drops, out, ckpt = f"{tmp}/drops", f"{tmp}/out", f"{tmp}/ckpt"
+    try:
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        uniq = F.concat(
+            F.col("text"), F.lit(" #"), F.col("doc_id").cast("string")
+        )
+        _twin_pages(d, F.col("doc_id"), uniq, "2026-01-15 12:00:00").coalesce(
+            1
+        ).write.mode("append").parquet(drops)
+        _run_available_now(
+            start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
+        )
+
+        copies = _twin_pages(
+            d.filter(F.col("doc_id") % 10 == 0),
+            F.col("doc_id") + 100000,
+            uniq,
+            "2026-01-15 13:00:00",
+        )
+        fresh = _twin_pages(
+            d.filter(F.col("doc_id") % 10 == 5),
+            F.col("doc_id") + 200000,
+            F.concat(
+                F.col("text"), F.lit(" #new"), F.col("doc_id").cast("string")
+            ),
+            "2026-01-15 13:00:00",
+        )
+        copies.unionByName(fresh).coalesce(1).write.mode("append").parquet(drops)
+        _run_available_now(
+            start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
+        )
+
+        res = (
+            spark.read.parquet(out)
+            .select(F.col("url").cast("bigint").alias("doc_id"), "text_hash")
+            .orderBy("doc_id")
+        )
+        pdf = res.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, schema="doc_id bigint, text_hash string"
+    ).orderBy("doc_id")
+
+
+def q_near_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dedup (``streaming.start_near_dedup_stream``,
+    hamming<=3 over simhash, foreachBatch against the committed
+    fingerprint table) run END-TO-END as two real AvailableNow stream
+    increments sharing one checkpoint + fingerprint table — the
+    driver-visible twin of the pytest-only streaming leg.
+
+    Drop 1 (ts 12:00): documents < 150 at url=doc_id — within-batch
+    near-dups collapse keep-smallest-URL-STRING (the stream keys on
+    the url column, so '100' < '2' lexicographically; the oracle
+    compares the same VARCHARs). Drop 2 (ts 13:00, separate run):
+    one-token-appended copies (' zzz') of doc_id%5==0 at url
+    doc_id+100000 — suppressed where within hamming 3 of a COMMITTED
+    run-1 survivor fingerprint — plus fresh documents 150..199. The
+    DuckDB oracle replays both batches by brute-force NOT EXISTS
+    hamming checks (banding is exact-recall by pigeonhole, so the
+    survivor sets agree). Bounded (<=230 rows), collected into an
+    in-memory frame; correctness twin only, never a bench path."""
+    import shutil
+    import tempfile
+
+    from webxtract.streaming import start_near_dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="webxtract_twin_near_")
+    drops, out = f"{tmp}/drops", f"{tmp}/out"
+    fps, ckpt = f"{tmp}/fps", f"{tmp}/ckpt"
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        _twin_pages(
+            docs.filter(F.col("doc_id") < 150),
+            F.col("doc_id"),
+            F.col("text"),
+            "2026-01-15 12:00:00",
+        ).coalesce(1).write.mode("append").parquet(drops)
+        _run_available_now(
+            start_near_dedup_stream(
+                spark, drops, out, fps, ckpt, max_hamming=3
+            )
+        )
+
+        copies = _twin_pages(
+            docs.filter((F.col("doc_id") < 150) & (F.col("doc_id") % 5 == 0)),
+            F.col("doc_id") + 100000,
+            F.concat(F.col("text"), F.lit(" zzz")),
+            "2026-01-15 13:00:00",
+        )
+        fresh = _twin_pages(
+            docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200)),
+            F.col("doc_id"),
+            F.col("text"),
+            "2026-01-15 13:00:00",
+        )
+        copies.unionByName(fresh).coalesce(1).write.mode("append").parquet(drops)
+        _run_available_now(
+            start_near_dedup_stream(
+                spark, drops, out, fps, ckpt, max_hamming=3
+            )
+        )
+
+        res = (
+            spark.read.parquet(out)
+            .select(
+                F.col("url").cast("bigint").alias("doc_id"),
+                F.length("text").cast("bigint").alias("n_chars"),
+            )
+            .orderBy("doc_id")
+        )
+        pdf = res.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, schema="doc_id bigint, n_chars bigint"
+    ).orderBy("doc_id")
 
 
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:

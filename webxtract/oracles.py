@@ -342,8 +342,77 @@ FROM documents
 
 ORACLES["lang_id"] = _lang_sql()
 
+
+def _lang_clf_sql() -> str:
+    """contract.q_lang_id_clf twin: identical planted suffix (the
+    row's own lang's stopwords), identical md5-60 bucket per token
+    (computed ONCE per token), identical 9dp weight literals from the
+    committed webxtract/lang_clf.py fit, in-order list_sum fold,
+    6dp-rounded mean per language BEFORE the argmax, fixed
+    LANG_CLF_LANGS tie-break order."""
+    from webxtract.lang_clf import (
+        LANG_CLF_BUCKETS,
+        LANG_CLF_LANGS,
+        LANG_CLF_WEIGHTS,
+    )
+    from webxtract.textops import LANG_STOPWORDS
+
+    suffix = " ".join(
+        f"WHEN '{lang}' THEN '{' '.join(words)}'"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    wl = ",\n  ".join(
+        "["
+        + ", ".join(repr(float(x)) for x in LANG_CLF_WEIGHTS[lang])
+        + f"] AS w_{lang}"
+        for lang in LANG_CLF_LANGS
+    )
+    scores = ",\n    ".join(
+        f"round(list_sum(list_transform(b, i -> w_{lang}[i]))"
+        f" / CAST(len(b) AS DOUBLE), 6) AS s_{lang}"
+        for lang in LANG_CLF_LANGS
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_CLF_LANGS) + ")"
+    whens = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_CLF_LANGS
+    )
+    bucket = (
+        f"CAST(({_H60.format(s='t')}) % {LANG_CLF_BUCKETS} AS INTEGER) + 1"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+    coalesce(text, '') || ' ' || (CASE lang {suffix} ELSE '' END) AS ptext
+  FROM documents
+),
+bs AS (
+  SELECT doc_id, lang,
+    list_transform(regexp_split_to_array(trim(lower(ptext)), '\\s+'),
+                   t -> {bucket}) AS b
+  FROM planted
+),
+w AS (SELECT
+  {wl}
+),
+scored AS (
+  SELECT doc_id, lang,
+    {scores}
+  FROM bs CROSS JOIN w
+)
+SELECT doc_id, lang,
+  CASE {whens} END AS predicted_lang,
+  best AS lang_score
+FROM (SELECT *, {best} AS best FROM scored)
+ORDER BY doc_id
+"""
+
+
+# (registered below, after _H60 is defined)
+
 # md5-derived 60-bit engine-neutral hash (webxtract.textops.stable_hash60_expr)
 _H60 = "('0x' || substr(md5({s}),1,15))::BIGINT"
+
+ORACLES["lang_id_clf"] = _lang_clf_sql()
 
 ORACLES["fingerprint"] = f"""
 SELECT doc_id, {_H60.format(s='text')} AS fingerprint
@@ -847,6 +916,81 @@ WHERE NOT EXISTS (SELECT 1 FROM ssh s
   AND NOT EXISTS (SELECT 1 FROM ish l
                   WHERE l.doc_id < r.doc_id
                     AND bit_count(xor(l.simhash, r.simhash)) <= 3)
+ORDER BY doc_id
+""".format(h=_H60.format(s="tk"))
+
+# contract.q_exact_dedup_stream_twin twin: closed-form survivor set of
+# the two-drop streaming exact dedup — drop-1 texts are per-doc unique
+# (all survive), drop-2 copies are suppressed by run-1 state, drop-2
+# fresh texts survive.
+ORACLES["exact_dedup_stream_twin"] = """
+SELECT doc_id, md5(text || ' #' || CAST(doc_id AS VARCHAR)) AS text_hash
+FROM documents WHERE doc_id < 500
+UNION ALL
+SELECT doc_id + 200000,
+       md5(text || ' #new' || CAST(doc_id AS VARCHAR)) AS text_hash
+FROM documents WHERE doc_id < 500 AND doc_id % 10 = 5
+ORDER BY doc_id
+"""
+
+# contract.q_near_dedup_stream_twin twin: brute-force replay of the two
+# streaming microbatches. Batch 1 = docs < 150; a row survives iff no
+# batch-mate with a LEXICOGRAPHICALLY smaller url (the stream keys on
+# the url STRING) is within hamming 3. Batch-1 survivors commit their
+# fingerprints; batch 2 = ' zzz' copies (+100000) of doc_id%5==0 plus
+# fresh docs 150..199, surviving iff no committed fingerprint and no
+# smaller-url batch-2 mate is within hamming 3 (banding is exact-recall
+# by pigeonhole, so brute force agrees with the banded kernel).
+ORACLES["near_dedup_stream_twin"] = """
+WITH b1 AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents WHERE doc_id < 150
+),
+sh1 AS (
+  SELECT doc_id, url, text,
+    (list_sum(list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            tk -> {h}),
+             h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
+           THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS sh
+  FROM b1
+),
+s1 AS (
+  SELECT * FROM sh1 r
+  WHERE NOT EXISTS (SELECT 1 FROM sh1 l
+                    WHERE l.url < r.url
+                      AND bit_count(xor(l.sh, r.sh)) <= 3)
+),
+b2 AS (
+  SELECT doc_id + 100000 AS doc_id,
+         CAST(doc_id + 100000 AS VARCHAR) AS url, text || ' zzz' AS text
+  FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, CAST(doc_id AS VARCHAR), text
+  FROM documents WHERE doc_id >= 150 AND doc_id < 200
+),
+sh2 AS (
+  SELECT doc_id, url, text,
+    (list_sum(list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            tk -> {h}),
+             h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) > 0
+           THEN 1::BIGINT << b ELSE 0 END)))::BIGINT AS sh
+  FROM b2
+),
+s2 AS (
+  SELECT * FROM sh2 r
+  WHERE NOT EXISTS (SELECT 1 FROM s1
+                    WHERE bit_count(xor(s1.sh, r.sh)) <= 3)
+    AND NOT EXISTS (SELECT 1 FROM sh2 l
+                    WHERE l.url < r.url
+                      AND bit_count(xor(l.sh, r.sh)) <= 3)
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM s1
+UNION ALL
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM s2
 ORDER BY doc_id
 """.format(h=_H60.format(s="tk"))
 

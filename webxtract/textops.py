@@ -371,6 +371,71 @@ def lang_id_expr(text: Column) -> Column:
     )
 
 
+def lang_id_clf_expr(text: Column) -> Column:
+    """Trained hashed-NB language ID — the model-based upgrade of the
+    ``lang_id_expr`` stopword toy (round-4 review task #7), served the
+    same way ``curation.classifier_score_expr`` serves its quality
+    model: the per-language log-odds weight tables (fitted offline and
+    deterministically by ``scripts/fit_lang_clf.py``, committed as
+    ``webxtract/lang_clf.py``) ship as plan literals, and scoring is a
+    ZERO-shuffle, zero-join, zero-Python projection — one map pass at
+    any corpus size.
+
+    Per row: tokens -> ONE md5-60 bucket per token (bound once — the
+    hash is the costly step and must not be re-evaluated per language),
+    then per language one literal-table fold
+    ``score = round(mean(w_lang[bucket]), 6)`` (6dp round BEFORE the
+    argmax so last-ulp libm drift cannot flip the winner between
+    engines), argmax with the fixed LANG_ORDER tie-break. Returns a
+    struct ``(predicted_lang string, lang_score double)``."""
+    from webxtract.exprs import bind_once
+    from webxtract.lang_clf import (
+        LANG_CLF_BUCKETS,
+        LANG_CLF_LANGS,
+        LANG_CLF_WEIGHTS,
+    )
+
+    toks = tokens_expr(F.lower(F.coalesce(text, F.lit(""))))
+    buckets = F.transform(
+        toks,
+        lambda t: (
+            F.pmod(stable_hash60_expr(t), F.lit(LANG_CLF_BUCKETS)) + 1
+        ).cast("int"),
+    )
+
+    def argmax(s: Column, best: Column) -> Column:
+        chain = None
+        for lang in LANG_CLF_LANGS:
+            cond = s[lang] == best
+            chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+        return chain
+
+    def scores(bs: Column) -> Column:
+        n = F.size(bs).cast("double")
+        cols = []
+        for lang in LANG_CLF_LANGS:
+            w = F.lit([float(x) for x in LANG_CLF_WEIGHTS[lang]])
+            s = F.aggregate(
+                bs, F.lit(0.0), lambda acc, b: acc + F.element_at(w, b)
+            )
+            cols.append(F.round(s / n, 6).alias(lang))
+        return F.struct(*cols)
+
+    return bind_once(
+        buckets,
+        lambda bs: bind_once(
+            scores(bs),
+            lambda s: bind_once(
+                F.greatest(*[s[lang] for lang in LANG_CLF_LANGS]),
+                lambda best: F.struct(
+                    argmax(s, best).alias("predicted_lang"),
+                    best.alias("lang_score"),
+                ),
+            ),
+        ),
+    )
+
+
 def stable_hash60_expr(s: Column) -> Column:
     """Engine-neutral 60-bit hash: low 15 hex chars of md5, one native
     call per value on both engines — Spark
