@@ -49,32 +49,39 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     ui_base = spark.sparkContext.uiWebUrl
 
-    def _cpu() -> float:
-        """Executor CPU core-sec over completed stages (host-noise-free)."""
+    def _cpu() -> tuple[float, float, float]:
+        """(cpu core-s, gc s, run core-s) over completed stages."""
         try:
             url = f"{ui_base}/api/v1/applications/{app_id}/stages?status=complete"
             data = json.load(urllib.request.urlopen(url, timeout=10))
-            return sum(s["executorCpuTime"] for s in data) / 1e9
+            cpu = sum(s["executorCpuTime"] for s in data) / 1e9
+            gc = sum(s["jvmGcTime"] for s in data) / 1e3
+            run = sum(s["executorRunTime"] for s in data) / 1e3
+            return cpu, gc, run
         except Exception:
-            return 0.0
+            return 0.0, 0.0, 0.0
 
     def _force(df) -> None:  # noqa: ANN001
         df.write.format("noop").mode("overwrite").save()
 
-    walls, cpus = [], []
+    walls, cpus, gcs, runs = [], [], [], []
     for _ in range(n_passes):
-        c0 = _cpu()
+        c0, g0, r0 = _cpu()
         t0 = time.perf_counter()
         _force(run_pipeline(spark.read.parquet(marker), run_date="2026-01-15"))
         walls.append(round(time.perf_counter() - t0, 2))
-        cpus.append(round(max(0.0, _cpu() - c0), 1))
+        c1, g1, r1 = _cpu()
+        cpus.append(round(max(0.0, c1 - c0), 1))
+        gcs.append(round(max(0.0, g1 - g0), 1))
+        runs.append(round(max(0.0, r1 - r0), 1))
     print(
         {
             "n_rows": n_rows,
             "walls": walls,
             "min": min(walls),
             "cpu_core_s": cpus,
-            "min_cpu": min(cpus),
+            "gc_s": gcs,
+            "run_core_s": runs,
             "stub_details": os.environ.get("WEBXTRACT_STUB_DETAILS", "0"),
             "dmap_mode": os.environ.get("WEBXTRACT_DMAP_MODE", ""),
         }

@@ -120,9 +120,9 @@ def test_repetition_signals_is_shuffle_free(spark):
     operator must stay a single projection over one scan (sorted-gram
     run-length scan per n), never the explode + groupBy + join-back
     shape. The OPERATOR itself adds zero exchanges (first assert, on
-    its own plan); the contract query additionally carries an explicit
-    input repartition — a fixture for the single-row-group sandbox
-    table — and its output orderBy, nothing else."""
+    its own plan); the contract query adds only its output orderBy
+    (scan parallelism comes from the input layout — bench.py re-chunks
+    its fixture — not from an in-query repartition)."""
     from webxtract.contract import q_repetition_signals
     from webxtract.curation import repetition_signals
 
@@ -136,7 +136,7 @@ def test_repetition_signals_is_shuffle_free(spark):
     assert _nodes(op_plan, "HashAggregate") == 0
 
     plan = _plan(q_repetition_signals(spark, TESTDATA))
-    assert _nodes(plan, "Exchange") <= 2  # input fixture + output sort
+    assert _nodes(plan, "Exchange") <= 1  # output sort only
     assert "Join" not in plan
     assert _nodes(plan, "Generate") == 0
     assert _nodes(plan, "HashAggregate") == 0
@@ -562,9 +562,9 @@ def test_robots_sitemaps_is_narrow(spark):
 def test_classifier_score_is_narrow(spark):
     """Model serving is one map pass: zero Python, zero joins — the
     weight table is a literal. The OPERATOR adds zero exchanges (first
-    assert, on its own plan); the contract query additionally carries
-    the documented single-row-group fixture repartition, nothing
-    else."""
+    assert, on its own plan); the contract query adds only its output
+    orderBy (scan parallelism is the input layout's job — bench.py
+    re-chunks its fixture — not an in-query repartition)."""
     from pyspark.sql import functions as F
 
     from webxtract.contract import q_classifier_score
@@ -581,7 +581,7 @@ def test_classifier_score_is_narrow(spark):
     assert "Join" not in op_plan
 
     plan = _plan(q_classifier_score(spark, TESTDATA).limit(5))
-    assert _nodes(plan, "Exchange") <= 1  # input fixture repartition
+    assert _nodes(plan, "Exchange") == 0  # orderBy+limit folds to TakeOrdered
     assert "EvalPython" not in plan
     assert "Join" not in plan
 

