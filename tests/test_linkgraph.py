@@ -261,6 +261,8 @@ def test_crawl_delay_parse_branches(spark):
         (3, None),
         # delay AFTER other directives in the UA-* section still counts
         (4, "User-agent: *\nDisallow: /a\nCrawl-delay: 3\n"),
+        # RFC 9309: field names case-insensitive; CRLF line endings
+        (5, "user-agent: *\r\ncrawl-delay: 4\r\ndisallow: /b\r\n"),
     ]
     df = spark.createDataFrame(rows, "id long, robots_txt string")
     got = {
@@ -269,7 +271,7 @@ def test_crawl_delay_parse_branches(spark):
             "id", crawl_delay_expr(F.col("robots_txt")).alias("d")
         ).collect()
     }
-    assert got == {0: 7, 1: None, 2: None, 3: None, 4: 3}
+    assert got == {0: 7, 1: None, 2: None, 3: None, 4: 3, 5: 4}
 
 
 def test_frontier_schedule_ranks_caps_and_delays(spark):

@@ -340,6 +340,9 @@ def test_wat_record_json_payload_parses_and_escapes(spark):
         [
             (1, 'He said "hi" \\ bye', ["https://a.example/x", "https://b.example/y"]),
             (2, None, []),
+            # control characters: tab/LF/CR escape to \t \n \r, other
+            # C0 controls are stripped — output must stay RFC 8259-valid
+            (3, "tab\there nl\nhere cr\rhere bell\x07gone", []),
         ],
         "id long, title string, links array<string>",
     )
@@ -372,6 +375,11 @@ def test_wat_record_json_payload_parses_and_escapes(spark):
     assert len_ok2
     assert p2["Envelope"]["Payload-Metadata"]["HTML-Metadata"]["Head"]["Title"] is None
     assert "WARC-Type: metadata" in rows[2]
+
+    p3, len_ok3 = payload(rows[3])
+    assert len_ok3
+    t3 = p3["Envelope"]["Payload-Metadata"]["HTML-Metadata"]["Head"]["Title"]
+    assert t3 == "tab\there nl\nhere cr\rhere bellgone"
 
 
 def test_wat_sink_roundtrip(spark, corpus, tmp_path):

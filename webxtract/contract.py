@@ -1651,7 +1651,10 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     override, non-* section skipped, empty Disallow, block-all, no
     robots row) x 4 path classes. The oracle emits the expected
     verdict per (doc_id%5, doc_id%4) directly — a planted-truth check
-    of the whole parse + longest-prefix-match fold."""
+    of the whole parse + longest-prefix-match fold. Host r1 is written
+    with CRLF line endings and lowercase directive names (both common
+    in real robots.txt; RFC 9309 field names are case-insensitive) —
+    the parser must normalize, and the planted verdicts don't move."""
     from webxtract.linkgraph import robots_verdicts
 
     robots = spark.createDataFrame(
@@ -1659,8 +1662,8 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("r0.example",
              "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
             ("r1.example",
-             "User-agent: googlebot\nDisallow: /\n\n"
-             "User-agent: *\nDisallow: /tmp\n"),
+             "user-agent: googlebot\r\ndisallow: /\r\n\r\n"
+             "user-agent: *\r\ndisallow: /tmp\r\n"),
             ("r2.example", "User-agent: *\nDisallow:\n"),
             ("r3.example", "User-agent: *\nDisallow: /\n"),
         ],
@@ -1802,16 +1805,18 @@ def q_stratified_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness frontier over 5 synthetic hosts (r0..r4.example):
     rank per host by (n_chars DESC, url ASC), cap 30 per host, delay
-    from planted robots.txt Crawl-delay directives (r0: 5s; r1: 2s;
-    r2: a googlebot-only section whose delay must NOT apply; r3: UA-*
-    section without a delay; r4: no robots row) — the default-1s,
-    wrong-section, and planted-delay branches all occur."""
+    from planted robots.txt Crawl-delay directives (r0: 5s; r1: 2s,
+    written CRLF + lowercase ``crawl-delay:`` to pin the RFC 9309
+    case/line-ending normalization; r2: a googlebot-only section whose
+    delay must NOT apply; r3: UA-* section without a delay; r4: no
+    robots row) — the default-1s, wrong-section, and planted-delay
+    branches all occur."""
     from webxtract.linkgraph import frontier_schedule
 
     robots = spark.createDataFrame(
         [
             ("r0.example", "User-agent: *\nCrawl-delay: 5\nDisallow: /tmp\n"),
-            ("r1.example", "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n"),
+            ("r1.example", "user-agent: *\r\ndisallow: /x\r\ncrawl-delay: 2\r\n"),
             ("r2.example",
              "User-agent: googlebot\nCrawl-delay: 9\n\n"
              "User-agent: *\nDisallow: /y\n"),
@@ -1886,7 +1891,8 @@ def q_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT metadata-record serialization (the third CC product): each
     page's WARC/1.0 metadata record with a JSON envelope carrying the
     head title (planted with a double-quote so the escape path is
-    exercised; doc_id%9 rows have NO title -> JSON null) and the
+    exercised, and with a TAB for doc_id%9==1 rows so the \\t control
+    escape is pinned; doc_id%9==0 rows have NO title -> JSON null) and the
     resolved outlink list (absolute kept, root-relative resolved,
     mailto dropped) in document order. The oracle rebuilds identical
     bytes; (rec_bytes, rec_md5) pin the serialization."""
@@ -1899,8 +1905,9 @@ def q_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".example/p/"), did,
     )
+    sep = F.when(F.col("doc_id") % 9 == 1, F.lit("\t")).otherwise(F.lit(" "))
     title_tag = F.when(F.col("doc_id") % 9 == 0, F.lit("")).otherwise(
-        F.concat(F.lit('<title>Doc "'), did, F.lit('" - '),
+        F.concat(F.lit("<title>Doc"), sep, F.lit('"'), did, F.lit('" - '),
                  F.col("source"), F.lit("</title>"))
     )
     html = F.concat(
@@ -1933,7 +1940,9 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-directive discovery over per-doc planted robots.txt:
     every row carries one sitemap url inside a UA-* group plus (for
     doc_id%3==0) a second one AFTER a different UA group — both must
-    be found (Sitemap is group-independent), in file order."""
+    be found (Sitemap is group-independent), in file order. The second
+    block is written CRLF + lowercase ``sitemap:`` to pin the RFC 9309
+    case/line-ending normalization."""
     from webxtract.linkgraph import sitemaps_expr
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1944,8 +1953,8 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example/sitemap-"), did, F.lit(".xml\n"),
         F.when(
             F.col("doc_id") % 3 == 0,
-            F.lit("User-agent: googlebot\nDisallow: /\n"
-                  "Sitemap: https://s.example/extra.xml\n"),
+            F.lit("user-agent: googlebot\r\ndisallow: /\r\n"
+                  "sitemap: https://s.example/extra.xml\r\n"),
         ).otherwise(F.lit("")),
     )
     sm = sitemaps_expr(robots)

@@ -1237,9 +1237,15 @@ def stratified_keep(
     high-resource stratum's score distribution never sets the bar for
     a low-resource one. A document survives when its within-stratum
     percent_rank >= 1 - frac; every member of a tied value class
-    shares a rank, so ties are kept together (the achieved keep rate
-    can exceed ``frac`` by at most one value class — deterministic,
-    documented).
+    shares the class's MINIMUM rank (percent_rank semantics), so a
+    value class straddling the cutoff is dropped together — achieved
+    keep rate is UNDER ``frac`` by up to one value class, and the
+    degenerate all-one-value (or singleton) stratum, where every row
+    has percent_rank 0, keeps nothing for frac < 1. Deterministic,
+    and identical in both engines (the oracle uses the same SQL
+    percent_rank); callers that must retain at least the top value
+    class of tiny strata should floor ``frac`` accordingly or use a
+    count-based top-k instead.
 
     Scale shape: same histogram trick as value_percentiles — the
     ordered window runs over the per-stratum VALUE HISTOGRAM

@@ -269,8 +269,16 @@ def robots_meta_exprs(html_text: Column) -> dict[str, Column]:
 # `User-agent: *` group's Allow/Disallow path prefixes, longest-match
 # precedence with Allow winning ties, no rule = allowed. (Wildcards
 # inside paths and crawl-delay are out of scope and documented so.)
-ROBOTS_SECTION_RE = r"(?s)User-agent: \*\n(.*?)(?:\nUser-agent:|$)"
+# RFC 9309 field names are case-insensitive and real files commonly use
+# CRLF line endings, so every consumer normalizes through _robots_text
+# (strip \r) and matches directives with (?i).
+ROBOTS_SECTION_RE = r"(?si)User-agent: \*\n(.*?)(?:\nUser-agent:|$)"
 ROBOTS_RULE_TYPE = "array<struct<prefix:string,allow:boolean>>"
+
+
+def _robots_text(col: Column) -> Column:
+    """NULL-safe, CRLF-normalized robots.txt body."""
+    return F.replace(F.coalesce(col, F.lit("")), F.lit("\r"), F.lit(""))
 
 
 def parse_robots_rules(
@@ -280,7 +288,7 @@ def parse_robots_rules(
     ``User-agent: *`` section; empty-path directives (``Disallow:``
     alone = allow all) drop. Pure regex expressions."""
     sec = F.regexp_extract(
-        F.coalesce(F.col(robots_col), F.lit("")), ROBOTS_SECTION_RE, 1
+        _robots_text(F.col(robots_col)), ROBOTS_SECTION_RE, 1
     )
 
     def tag(pat: str, allow: bool) -> Column:
@@ -290,7 +298,7 @@ def parse_robots_rules(
         )
 
     rules = F.concat(
-        tag(r"(?m)^Disallow: (\S+)", False), tag(r"(?m)^Allow: (\S+)", True)
+        tag(r"(?mi)^Disallow: (\S+)", False), tag(r"(?mi)^Allow: (\S+)", True)
     )
     return df.select(F.col(host_col).alias("host"), rules.alias("rules"))
 
@@ -354,17 +362,16 @@ def filter_robots_allowed(
     ).drop("allowed")
 
 
-CRAWL_DELAY_RE = r"(?m)^Crawl-delay: (\d+)"
+CRAWL_DELAY_RE = r"(?mi)^Crawl-delay: (\d+)"
 
 
 def crawl_delay_expr(robots_txt: Column) -> Column:
     """Per-host ``Crawl-delay`` (seconds) from the ``User-agent: *``
     section of robots.txt; NULL when the directive is absent (callers
     coalesce to their politeness default). Non-standard but
-    widely-published directive; integer-seconds form only."""
-    sec = F.regexp_extract(
-        F.coalesce(robots_txt, F.lit("")), ROBOTS_SECTION_RE, 1
-    )
+    widely-published directive; integer-seconds form only. Directive
+    name matched case-insensitively over the CRLF-normalized body."""
+    sec = F.regexp_extract(_robots_text(robots_txt), ROBOTS_SECTION_RE, 1)
     d = F.regexp_extract(sec, CRAWL_DELAY_RE, 1)
     return F.when(d != "", d.cast("long")).otherwise(
         F.lit(None).cast("long")
@@ -453,7 +460,7 @@ def host_components(
     return comp.select(F.col("id").alias("host"), "component")
 
 
-SITEMAP_RE = r"(?m)^Sitemap: (\S+)"
+SITEMAP_RE = r"(?mi)^Sitemap: (\S+)"
 
 
 def sitemaps_expr(robots_txt: Column) -> Column:
@@ -461,10 +468,9 @@ def sitemaps_expr(robots_txt: Column) -> Column:
     Unlike Allow/Disallow/Crawl-delay, Sitemap is GROUP-INDEPENDENT
     (sitemaps.org / RFC 9309 §2.3 treats it as applying to the whole
     file), so this scans the full text, not the UA-* section — the
-    crawl tier's sitemap-discovery feed."""
-    return F.regexp_extract_all(
-        F.coalesce(robots_txt, F.lit("")), F.lit(SITEMAP_RE), 1
-    )
+    crawl tier's sitemap-discovery feed. Directive name matched
+    case-insensitively over the CRLF-normalized body."""
+    return F.regexp_extract_all(_robots_text(robots_txt), F.lit(SITEMAP_RE), 1)
 
 
 def sitemap_entries_expr(xml: Column) -> Column:

@@ -2724,7 +2724,9 @@ WITH base AS (
                   + (doc_id % 86400) * INTERVAL 1 SECOND,
                   '%Y-%m-%dT%H:%M:%SZ') AS d,
          CASE WHEN doc_id % 9 = 0 THEN NULL
-              ELSE 'Doc "' || CAST(doc_id AS VARCHAR) || '" - ' || source
+              ELSE 'Doc' || CASE WHEN doc_id % 9 = 1 THEN chr(9)
+                                 ELSE ' ' END
+                   || '"' || CAST(doc_id AS VARCHAR) || '" - ' || source
          END AS title,
          'https://partner.example/r/' || CAST(doc_id AS VARCHAR) AS l1,
          'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
@@ -2732,10 +2734,18 @@ WITH base AS (
   FROM documents
 ),
 esc AS (
+  -- mirrors webxtract.warc._json_str_expr: backslash, quote, then
+  -- tab/LF/CR to two-char escapes, then strip remaining C0 controls
   SELECT *,
-         '"' || replace(replace(coalesce(title, ''), chr(92),
-                                chr(92) || chr(92)),
-                        '"', chr(92) || '"') || '"' AS jtitle
+         '"' || regexp_replace(
+                  replace(replace(replace(
+                    replace(replace(coalesce(title, ''), chr(92),
+                                    chr(92) || chr(92)),
+                            '"', chr(92) || '"'),
+                    chr(9), chr(92) || 't'),
+                    chr(10), chr(92) || 'n'),
+                    chr(13), chr(92) || 'r'),
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') || '"' AS jtitle
   FROM base
 ),
 pay AS (

@@ -607,18 +607,25 @@ def resolve_revisits(warc: DataFrame) -> DataFrame:
 
 
 def _json_str_expr(s: Column) -> Column:
-    """Minimal JSON string escape (backslash, then double-quote) via
-    literal replace — matching DuckDB's replace() byte-for-byte. The
-    WAT fields this serializes (urls, head metadata over the page
-    contract) cannot carry raw control characters: control chars are
-    stripped at extraction, and the url grammar excludes them; the
-    two replaced characters are the only JSON-mandatory escapes left."""
-    return F.concat(
-        F.lit('"'),
-        F.replace(F.replace(s, F.lit("\\"), F.lit("\\\\")),
-                  F.lit('"'), F.lit('\\"')),
-        F.lit('"'),
+    """RFC 8259-valid JSON string for ARBITRARY input: backslash and
+    double-quote escaped first, then the three whitespace controls that
+    legitimately appear in scraped head metadata (tab/newline/CR, e.g.
+    a tab inside a <title>) escaped to their two-character forms, and
+    every remaining C0 control stripped (rare, never
+    information-bearing; stripping keeps the expression a flat replace
+    chain instead of 27 \\u00XX cases). wat_record_expr is a public
+    API over arbitrary columns, so validity cannot rely on upstream
+    sanitization. Byte-mirrored by the DuckDB oracle
+    (oracles.py wat_records ``esc`` CTE: same replaces in the same
+    order, same RE2/Java char-class strip)."""
+    e = F.replace(
+        F.replace(s, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
     )
+    e = F.replace(e, F.lit("\t"), F.lit("\\t"))
+    e = F.replace(e, F.lit("\n"), F.lit("\\n"))
+    e = F.replace(e, F.lit("\r"), F.lit("\\r"))
+    e = F.regexp_replace(e, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    return F.concat(F.lit('"'), e, F.lit('"'))
 
 
 def wat_record_expr(
