@@ -114,6 +114,26 @@ def test_pagerank_matches_reference(spark, edges):
     assert got == pytest.approx(want, abs=2e-6)
 
 
+def test_pagerank_reliable_checkpoint_option(spark, tmp_path):
+    """checkpoint_dir switches iteration pinning to RELIABLE
+    checkpointing (survives executor loss on a real cluster): results
+    must be bit-identical to the localCheckpoint default, and RDD
+    checkpoint files must actually land in the directory."""
+    import os
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (2, 1), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cp = str(tmp_path / "pr_cp")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, checkpoint_dir=cp, checkpoint_every=2).collect()
+    }
+    want = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert got == want
+    found = [f for _, _, fs in os.walk(cp) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
 def test_pagerank_mass_conserved_and_hub_wins(spark):
     # 20 pages all vote for node 100; with dangling redistribution the
     # total mass stays 1 and the hub dominates

@@ -275,6 +275,58 @@ def test_revisit_records_resolve(spark, tmp_path):
     assert dangling.resolved is False and bytes(dangling.payload or b"") == b""
 
 
+def test_base32_sha1_matches_cc_convention(spark):
+    """The pure-expression base32(sha1(.)) must equal what a real
+    Common Crawl consumer computes (hashlib.sha1 + RFC 4648 b32encode)
+    — including empty payloads and multi-byte UTF-8 — and the
+    sha1b32-flagged WET record must carry a digest header that
+    verifies against its own payload the CC way. The default digest
+    stays sha256 (oracle-pinned); the flag is opt-in."""
+    import base64
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from webxtract.warc import base32_sha1_expr, wet_record_expr
+
+    payloads = ["", "hello world", 'quotes " and \\ bs', "unicodé ✓ Ж", "a" * 5000]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)], "id long, t string")
+    got = {
+        r["id"]: r["b32"]
+        for r in df.select(
+            "id", base32_sha1_expr(F.col("t")).alias("b32")
+        ).collect()
+    }
+    for i, p in enumerate(payloads):
+        want = base64.b32encode(hashlib.sha1(p.encode()).digest()).decode()
+        assert got[i] == want, (p[:20], got[i], want)
+
+    rec = df.select(
+        "t",
+        wet_record_expr(
+            F.lit("https://cc.example/p"),
+            F.to_timestamp(F.lit("2026-01-15 00:00:00")),
+            F.col("t"),
+            digest="sha1b32",
+        ).alias("rec"),
+    ).collect()
+    for r in rec:
+        head, _, rest = r["rec"].partition("\r\n\r\n")
+        body = rest[:-4]
+        dig = [l for l in head.split("\r\n") if l.startswith("WARC-Block-Digest:")][0]
+        want = "sha1:" + base64.b32encode(
+            hashlib.sha1(body.encode()).digest()
+        ).decode()
+        assert dig == f"WARC-Block-Digest: {want}"
+    # default form unchanged (the oracle contract)
+    d0 = df.limit(1).select(
+        wet_record_expr(
+            F.lit("u"), F.to_timestamp(F.lit("2026-01-15 00:00:00")), F.lit("x")
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert "WARC-Block-Digest: sha256:" in d0
+
+
 def test_wet_sink_roundtrip(spark, corpus, tmp_path):
     """pages -> extract -> WET segments -> read_warc: every conversion
     payload byte-identical to its extracted_text, one warcinfo record

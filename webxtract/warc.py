@@ -395,12 +395,37 @@ def warc_to_pages(warc: DataFrame) -> DataFrame:
 # the same output is serialized as WET. The record itself is built as a
 # PURE string expression (zero Python), so the serialization plan is a
 # narrow projection over the extraction output and the DuckDB oracle
-# can rebuild the identical bytes. One documented deviation from CC
-# convention: WARC-Block-Digest is ``sha256:<hex>`` (both engines share
-# sha256/md5; neither has base32-sha1 natively — the WARC spec permits
-# any labelled algorithm).
+# can rebuild the identical bytes. The DEFAULT WARC-Block-Digest is
+# ``sha256:<hex>`` (both engines share sha256/md5, so the oracle
+# contract pins it; the WARC spec permits any labelled algorithm); a
+# real Common-Crawl consumer that verifies digests gets the CC
+# convention with ``digest="sha1b32"`` — ``sha1:<base32>`` built by
+# base32_sha1_expr as a pure expression, equal byte-for-byte to
+# ``payload_digest`` (the Python writer's form, tested against
+# hashlib+b32encode in tests/test_warc.py).
 
 _CRLF = "\r\n"
+
+_B32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def base32_sha1_expr(data: Column) -> Column:
+    """RFC 4648 base32 of sha1(data) — the Common Crawl WARC digest
+    body (160 bits = exactly 32 alphabet chars, no padding) — as a PURE
+    codegen expression: the 40-char sha1 hex splits into four
+    10-hex-char (40-bit) blocks, each conv'd to a long and sliced into
+    eight 5-bit alphabet indices. Zero Python, usable in the same
+    narrow projection as the record concat."""
+    hexs = F.sha1(data)
+    chars = []
+    for b in range(4):
+        v = F.conv(F.substring(hexs, b * 10 + 1, 10), 16, 10).cast("long")
+        for i in range(8):
+            idx = F.shiftright(v, 35 - 5 * i).bitwiseAND(F.lit(31)).cast("int")
+            chars.append(
+                F.substr(F.lit(_B32_ALPHABET), idx + F.lit(1), F.lit(1))
+            )
+    return F.concat(*chars)
 
 
 def _uuid_expr(h: Column) -> Column:
@@ -417,7 +442,11 @@ def _uuid_expr(h: Column) -> Column:
 
 
 def wet_record_expr(
-    uri: Column, warc_ts: Column, text: Column, lang: Column | None = None
+    uri: Column,
+    warc_ts: Column,
+    text: Column,
+    lang: Column | None = None,
+    digest: str = "sha256",
 ) -> Column:
     """The full uncompressed WET conversion record (headers + payload +
     record separator) as one string Column. NULL text serializes as an
@@ -425,7 +454,13 @@ def wet_record_expr(
     gets its conversion record, mirroring CC. ``WARC-Refers-To`` is the
     deterministic id of the response record this text was converted
     from (same derivation as ``warc_response_record``), so a WET row
-    links back to its WARC capture without carrying offsets."""
+    links back to its WARC capture without carrying offsets.
+
+    ``digest``: "sha256" (default, the oracle-pinned contract) or
+    "sha1b32" (Common Crawl's ``sha1:<base32>`` convention, for
+    segments a real CC WET consumer will digest-verify)."""
+    if digest not in ("sha256", "sha1b32"):
+        raise ValueError(f"unknown digest option: {digest!r}")
     t = F.coalesce(text, F.lit(""))
     # NULL capture time would NULL the whole concat: pin it to epoch so
     # a timestamp-less page still serializes (CC requires WARC-Date).
@@ -455,7 +490,13 @@ def wet_record_expr(
         F.lit("WARC-Record-ID: "), rec_id, F.lit(_CRLF),
         F.lit("WARC-Refers-To: "), refers, F.lit(_CRLF),
         lang_hdr,
-        F.lit("WARC-Block-Digest: sha256:"), F.sha2(t, 256), F.lit(_CRLF),
+        F.lit("WARC-Block-Digest: "),
+        (
+            F.concat(F.lit("sha1:"), base32_sha1_expr(t))
+            if digest == "sha1b32"
+            else F.concat(F.lit("sha256:"), F.sha2(t, 256))
+        ),
+        F.lit(_CRLF),
         F.lit("Content-Type: text/plain" + _CRLF),
         F.lit("Content-Length: "), F.octet_length(t).cast("string"),
         F.lit(_CRLF + _CRLF),
