@@ -926,15 +926,15 @@ def tag_topics_exprs(
     out: dict[str, Column] = {
         f"n_{topic}": c.cast("long") for topic, c in counts.items()
     }
-    topic = F.lit("other")
-    best = F.lit(0)
-    # first-wins strict-greater: iterate REVERSED so earlier taxonomy
-    # entries win ties (same pattern as script_signals' dominant pick)
-    for name in reversed(list(tax)):
-        c = counts[name]
-        topic = F.when((c > 0) & (c >= best), F.lit(name)).otherwise(topic)
-        best = F.when((c > 0) & (c >= best), c).otherwise(best)
-    out["topic"] = topic
+    # first-wins argmax as a single linear fold (exprs.first_wins_argmax
+    # — the chained-accumulator form this replaces duplicated every
+    # count subtree exponentially and hit a measured ~60x CPU cliff
+    # whenever evaluation fell to interpreted mode)
+    from webxtract.exprs import first_wins_argmax
+
+    out["topic"] = first_wins_argmax(
+        [(name, counts[name]) for name in tax], "other"
+    )
     return out
 
 

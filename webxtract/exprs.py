@@ -76,3 +76,37 @@ def pick_first(arr: Column, build) -> Column:  # noqa: ANN001
     """First-match binding: ``arr`` is a (possibly empty) filtered array;
     returns build(first element) or NULL when empty."""
     return F.try_element_at(F.transform(arr, build), F.lit(1))
+
+
+def first_wins_argmax(
+    pairs: list[tuple[str, Column]], default: str
+) -> Column:
+    """Label of the first pair whose count equals the maximum (ties
+    break toward earlier ``pairs`` entries); ``default`` when every
+    count is <= 0.
+
+    Built as ONE aggregate fold over an array of (label, count)
+    structs, so each count expression appears exactly once in the
+    tree. The naive accumulator form — ``best = when(c >= best, c)
+    .otherwise(best)`` chained per candidate — embeds the previous
+    accumulator (and through it every earlier count subtree) TWICE per
+    step: 2^n copies after n candidates. Expression codegen's
+    common-subexpression elimination hides that when it kicks in, but
+    any fall to interpreted eval (janino failure, code-cache pressure
+    late in a long-lived JVM) re-evaluates every copy per row —
+    measured as a ~60x CPU cliff on the 8-topic tagger before this
+    fold (145 vs ~2 core-s per sf0.1 bench pass)."""
+    arr = F.array(
+        *[
+            F.struct(F.lit(n).alias("t"), c.cast("long").alias("c"))
+            for n, c in pairs
+        ]
+    )
+    win = F.aggregate(
+        arr,
+        F.struct(F.lit(default).alias("t"), F.lit(0).cast("long").alias("c")),
+        lambda acc, x: F.when((x["c"] > 0) & (x["c"] > acc["c"]), x).otherwise(
+            acc
+        ),
+    )
+    return win["t"]

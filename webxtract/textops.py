@@ -527,16 +527,14 @@ def script_signals_exprs(text: Column) -> dict[str, Column]:
         out[f"frac_{name}"] = F.round(
             F.when(base > 0, counts[name] / base.cast("double")).otherwise(0.0), 6
         )
-    dominant = F.lit("other")
-    best = F.lit(0)
-    # first-wins strict > : iterate REVERSED so earlier scripts win ties
-    for name, _ in reversed(SCRIPTS):
-        cond = counts[name] > 0
-        dominant = F.when(
-            cond & (counts[name] >= best), F.lit(name)
-        ).otherwise(dominant)
-        best = F.when(cond & (counts[name] >= best), counts[name]).otherwise(best)
-    out["dominant_script"] = dominant
+    # first-wins argmax as a single linear fold — the chained
+    # accumulator it replaces duplicated every regexp_replace count
+    # subtree exponentially (see exprs.first_wins_argmax)
+    from webxtract.exprs import first_wins_argmax
+
+    out["dominant_script"] = first_wins_argmax(
+        [(name, counts[name]) for name, _ in SCRIPTS], "other"
+    )
     return out
 
 
