@@ -414,7 +414,18 @@ def lang_id_clf_expr(text: Column) -> Column:
         n = F.size(bs).cast("double")
         cols = []
         for lang in LANG_CLF_LANGS:
-            w = F.lit([float(x) for x in LANG_CLF_WEIGHTS[lang]])
+            # ONE parsed SQL array literal per language: F.lit(pylist)
+            # marshals the 256 doubles element-wise over py4j (measured
+            # 2.2 s of DRIVER time per plan build for the 16 tables vs
+            # 3 ms/table as an F.expr string — BASELINE.md round-3
+            # lesson applied to a trained table); execution is
+            # identical, the optimizer constant-folds either form to
+            # the same array Literal.
+            w = F.expr(
+                "array("
+                + ",".join(f"{float(x)!r}D" for x in LANG_CLF_WEIGHTS[lang])
+                + ")"
+            )
             s = F.aggregate(
                 bs, F.lit(0.0), lambda acc, b: acc + F.element_at(w, b)
             )
