@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity": wrap(c.q_bigram_perplexity),
         "value_percentiles": wrap(c.q_value_percentiles),
         "stratified_keep": wrap(c.q_stratified_keep),
+        "stratified_keep_cume": wrap(c.q_stratified_keep_cume),
         "split_sentences": wrap(c.q_split_sentences),
         # --- round-5 additions (streaming twins, lang-id classifier) ------
         "near_dedup_stream_twin": wrap(c.q_near_dedup_stream_twin),

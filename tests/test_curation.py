@@ -835,6 +835,34 @@ def test_stratified_keep_per_stratum_ties(spark):
     assert got == [3, 4, 7]
 
 
+def test_stratified_keep_cume_keeps_tied_and_tiny_strata(spark):
+    """mode="cume": the boundary tied class is kept TOGETHER
+    (over-admission), a uniform stratum keeps everything, and a
+    singleton stratum keeps its row — the degenerate cases the
+    percent_rank rule wipes (ADVICE round 4)."""
+    from webxtract.curation import stratified_keep
+
+    rows = [
+        (1, "en", 10), (2, "en", 20), (3, "en", 30), (4, "en", 40),
+        # de cume_dists: 5->2/3, 5->2/3, 9->1; >= 0.5 keeps ALL three
+        # (the tied 5s straddle the cutoff and survive together)
+        (5, "de", 5), (6, "de", 5), (7, "de", 9),
+        # uniform stratum: every row cume_dist 1.0 -> all kept
+        (10, "fr", 7), (11, "fr", 7),
+        # singleton stratum: cume_dist 1.0 -> kept
+        (12, "zz", 1),
+        (8, None, 99), (9, "it", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v long")
+    out = stratified_keep(
+        df, F.col("v"), 0.5, strata_col="lang", mode="cume"
+    ).collect()
+    got = sorted(r["doc_id"] for r in out)
+    # en cume_dists: 10->.25, 20->.5, 30->.75, 40->1; >= 0.5 keeps 2,3,4
+    assert got == [2, 3, 4, 5, 6, 7, 10, 11, 12]
+    assert out[0].__fields__ == ["doc_id", "lang", "value", "cume_dist"]
+
+
 def test_classifier_score_matches_manual_sigmoid(spark):
     """The hashed linear classifier reproduces a hand-computed
     logit/sigmoid on a tiny fixture, scores stay in (0,1), and the

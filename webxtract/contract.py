@@ -1791,14 +1791,37 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stratified_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language relative thresholding: keep the top 25% of each
-    lang stratum by n_chars (ties kept together). Oracle is the plain
-    percent_rank window PARTITION BY lang — the histogram-window
-    engine form is exactly rank-equivalent."""
+    lang stratum by n_chars (a boundary tied class drops together —
+    percent_rank semantics; q_stratified_keep_cume is the
+    keep-together rule). Oracle is the plain percent_rank window
+    PARTITION BY lang — the histogram-window engine form is exactly
+    rank-equivalent."""
     from webxtract.curation import stratified_keep
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return stratified_keep(
         d, F.col("n_chars"), 0.25, strata_col="lang"
+    ).orderBy("doc_id")
+
+
+def q_stratified_keep_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist keep rule (ADVICE round 4): ties share the MAXIMUM
+    rank so the boundary value class is kept together and tiny strata
+    are never wiped. Planted stress: value = n_chars % 50 (heavy tie
+    classes in every lang) plus a singleton 'zz' stratum whose lone
+    row MUST survive (cume_dist 1.0). Oracle is SQL cume_dist()."""
+    from webxtract.curation import stratified_keep
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") % 50).alias("v")
+    )
+    single = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("zz").alias("lang"),
+        F.lit(7).cast("long").alias("v"),
+    )
+    return stratified_keep(
+        d.unionByName(single), F.col("v"), 0.25, strata_col="lang", mode="cume"
     ).orderBy("doc_id")
 
 

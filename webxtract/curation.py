@@ -1230,6 +1230,7 @@ def stratified_keep(
     frac: float,
     strata_col: str = "lang",
     id_col: str = "doc_id",
+    mode: str = "rank",
 ) -> DataFrame:
     """Keep the top ``frac`` of documents per stratum by ``value`` —
     relative (percentile) thresholding applied WITHIN each group, the
@@ -1244,8 +1245,16 @@ def stratified_keep(
     has percent_rank 0, keeps nothing for frac < 1. Deterministic,
     and identical in both engines (the oracle uses the same SQL
     percent_rank); callers that must retain at least the top value
-    class of tiny strata should floor ``frac`` accordingly or use a
-    count-based top-k instead.
+    class of tiny strata should floor ``frac`` accordingly or use
+    ``mode="cume"``.
+
+    ``mode="cume"`` switches the keep rule to ``cume_dist() >=
+    1 - frac`` (ties share the class's MAXIMUM rank): a value class
+    straddling the cutoff is KEPT together — over-admission by up to
+    one value class — and the degenerate uniform or singleton stratum
+    keeps everything (cume_dist is 1.0 for the top class), matching
+    the low-resource-language motivation where a tiny stratum must
+    never be wiped. Output column is ``cume_dist``.
 
     Scale shape: same histogram trick as value_percentiles — the
     ordered window runs over the per-stratum VALUE HISTOGRAM
@@ -1253,9 +1262,16 @@ def stratified_keep(
     bounded by value cardinality per stratum, never corpus rows; the
     per-stratum doc counts ride in a second tiny aggregate and both
     join back BROADCAST. percent_rank here is exactly SQL's
-    ``percent_rank() OVER (PARTITION BY strata ORDER BY value)``."""
+    ``percent_rank() OVER (PARTITION BY strata ORDER BY value)``;
+    in cume mode the cumulative sum simply includes the current value
+    class (frame upper bound 0, divide by n) — exactly SQL's
+    ``cume_dist()`` — so the histogram scale shape is identical."""
     from pyspark.sql import Window
 
+    if mode not in ("rank", "cume"):
+        raise ValueError(f"stratified_keep mode must be rank|cume, got {mode!r}")
+    cume = mode == "cume"
+    rank_col = "cume_dist" if cume else "pct_rank"
     v = value.alias("__v")
     base = df.select(F.col(id_col), F.col(strata_col).alias("__s"), v).where(
         F.col("__v").isNotNull() & F.col("__s").isNotNull()
@@ -1264,7 +1280,7 @@ def stratified_keep(
     w = (
         Window.partitionBy("__s")
         .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, 0 if cume else -1)
     )
     ranked = hist.select(
         "__s",
@@ -1272,26 +1288,27 @@ def stratified_keep(
         F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__below"),
     )
     n = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    if cume:
+        rank_expr = F.col("__below").cast("double") / F.col("__n").cast("double")
+    else:
+        rank_expr = F.when(
+            F.col("__n") > 1,
+            F.col("__below").cast("double")
+            / (F.col("__n") - F.lit(1)).cast("double"),
+        ).otherwise(F.lit(0.0))
     ranked = ranked.join(F.broadcast(n), "__s").select(
         "__s",
         "__v",
-        F.round(
-            F.when(
-                F.col("__n") > 1,
-                F.col("__below").cast("double")
-                / (F.col("__n") - F.lit(1)).cast("double"),
-            ).otherwise(F.lit(0.0)),
-            9,
-        ).alias("pct_rank"),
+        F.round(rank_expr, 9).alias(rank_col),
     )
     return (
         base.join(F.broadcast(ranked), ["__s", "__v"])
-        .where(F.col("pct_rank") >= F.lit(1.0 - frac))
+        .where(F.col(rank_col) >= F.lit(1.0 - frac))
         .select(
             id_col,
             F.col("__s").alias(strata_col),
             F.col("__v").alias("value"),
-            "pct_rank",
+            rank_col,
         )
     )
 

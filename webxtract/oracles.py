@@ -2587,6 +2587,27 @@ ORDER BY doc_id
 """
 
 
+# contract.q_stratified_keep_cume twin: cume_dist PARTITION BY lang
+# over the planted tie-heavy value (n_chars % 50) plus a singleton
+# 'zz' stratum; the engine's histogram form (cumulative count
+# INCLUDING the current value class / n) is exactly cume_dist, both
+# sides rounded to 9 digits before the 0.75 compare.
+ORACLES["stratified_keep_cume"] = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars % 50 AS v FROM documents
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), 'zz', CAST(7 AS BIGINT)
+)
+SELECT doc_id, lang, v AS value,
+       round(cume_dist() OVER (PARTITION BY lang ORDER BY v),
+             9) AS cume_dist
+FROM d
+WHERE v IS NOT NULL AND lang IS NOT NULL
+QUALIFY cume_dist >= 0.75
+ORDER BY doc_id
+"""
+
+
 # contract.q_frontier_schedule twin: single-window row_number per
 # host over the identical (priority DESC, url ASC) total order (the
 # engine's two-phase salted ranking is rank-equivalent by the
