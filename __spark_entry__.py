@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_stream_twin": wrap(c.q_near_dedup_stream_twin),
         "exact_dedup_stream_twin": wrap(c.q_exact_dedup_stream_twin),
         "lang_id_clf": wrap(c.q_lang_id_clf),
+        "zipnum_index": wrap(c.q_zipnum_index),
         # --- regression sentinels (green in r4, keep inside the window) ---
         "extract_html_roundtrip": wrap(c.q_extract_html_roundtrip),
         "validation_battery": wrap(c.q_validation_battery),

@@ -287,6 +287,10 @@ def main() -> None:
         ("sitemap_entries", contract.q_sitemap_entries),
         ("structured_metadata", contract.q_structured_metadata),
         ("lang_id_clf", contract.q_lang_id_clf),
+        ("zipnum_index", contract.q_zipnum_index),
+        ("near_dedup_stream_twin", contract.q_near_dedup_stream_twin),
+        ("exact_dedup_stream_twin", contract.q_exact_dedup_stream_twin),
+        ("stratified_keep_cume", contract.q_stratified_keep_cume),
     ]:
         run(name, lambda fn=fn: _force(fn(spark, sf_dir)), n=3)
 

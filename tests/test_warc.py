@@ -488,3 +488,107 @@ def test_wat_sink_roundtrip(spark, corpus, tmp_path):
         h1 = hashlib.md5(open(os.path.join(out1, name), "rb").read()).hexdigest()
         h2 = hashlib.md5(open(os.path.join(out2, name), "rb").read()).hexdigest()
         assert h1 == h2, name
+
+
+# ------------------------------------------------------------- zipnum
+
+
+def _zipnum_lines(spark, n=400):
+    """Deterministic CDX corpus: md5-prefixed SURT-ish urlkeys so the
+    layout kernel's prefix-bucket histogram sees many buckets."""
+    from pyspark.sql import functions as F
+
+    d = spark.range(n).select(F.col("id").alias("doc_id"))
+    did = F.col("doc_id").cast("string")
+    urlkey = F.concat(F.substring(F.md5(did), 1, 2), F.lit(",site)/"), did)
+    ts = (F.lit(20260101000000) + F.col("doc_id") % 9973).cast("string")
+    line = W.cdx_line_expr(
+        urlkey,
+        ts,
+        F.concat(F.lit("http://site.example/"), did),
+        F.lit("text/html"),
+        F.lit(200),
+    )
+    return d.select(
+        urlkey.alias("urlkey"), ts.alias("timestamp"), line.alias("line")
+    )
+
+
+def test_zipnum_index_layout(spark):
+    lines = _zipnum_lines(spark, 400)
+    idx = W.zipnum_index(lines, lines_per_block=37, n_shards=4, prefix_len=2)
+    rows = sorted(idx.collect(), key=lambda r: (r.shard, r.block_seq))
+    # 400/37 -> 11 blocks, bps=ceil(11/4)=3 -> shards 0..3
+    assert len(rows) == 11
+    assert sorted({r.shard for r in rows}) == [0, 1, 2, 3]
+    assert sum(r.n_lines for r in rows) == 400
+    assert all(r.n_lines == 37 for r in rows[:-1])
+    # offsets are contiguous uncompressed coordinates within each shard
+    pos = {}
+    for r in rows:
+        assert r.offset == pos.get(r.shard, 0)
+        pos[r.shard] = r.offset + r.length
+    # block firsts follow the global (urlkey, timestamp) sort
+    keys = [(r.urlkey, r.timestamp) for r in rows]
+    assert keys == sorted(keys)
+    full = sorted(
+        lines.collect(), key=lambda r: (r.urlkey, r.timestamp, r.line)
+    )
+    assert (rows[0].urlkey, rows[0].timestamp) == (
+        full[0].urlkey,
+        full[0].timestamp,
+    )
+    # scale guard: no empty-frame window (single-partition global sort)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan or "PartitionBy" not in plan  # soft
+    for ln in plan.splitlines():
+        if "Sort [" in ln and "urlkey" in ln and "global=true" in ln:
+            raise AssertionError(f"global sort over lines in plan: {ln}")
+
+
+def test_zipnum_write_and_lookup(spark, tmp_path):
+    lines = _zipnum_lines(spark, 400)
+    out = str(tmp_path / "zipnum")
+    idx = W.write_zipnum_shards(
+        lines, out, lines_per_block=37, n_shards=4, prefix_len=2
+    )
+    files = sorted(os.listdir(out))
+    shard_files = [f for f in files if f.startswith("cdx-")]
+    assert "cluster.idx" in files and len(shard_files) == 4
+    # decompressing every member of every shard, in shard order,
+    # reproduces the exact global (urlkey, timestamp, line) sort
+    got = []
+    for sf in shard_files:
+        with open(os.path.join(out, sf), "rb") as f:
+            got += gzip.decompress(f.read()).decode("utf-8").splitlines()
+    expected = [
+        r.line
+        for r in sorted(
+            lines.collect(), key=lambda r: (r.urlkey, r.timestamp, r.line)
+        )
+    ]
+    assert got == expected
+    # cluster.idx rows carry COMPRESSED coordinates: seek + decompress
+    # exactly one gzip member and its first line matches the index key
+    with open(os.path.join(out, "cluster.idx")) as f:
+        entries = [ln.split("\t") for ln in f.read().splitlines()]
+    assert len(entries) == 11
+    for key_ts, shard_file, off, length, _seq in entries:
+        with open(os.path.join(out, shard_file), "rb") as f:
+            f.seek(int(off))
+            blob = f.read(int(length))
+        block = gzip.decompress(blob).decode("utf-8").splitlines()
+        assert block[0].startswith(key_ts.split(" ", 1)[0] + " ")
+    # returned index frame agrees with cluster.idx on disk
+    assert sorted(
+        (r.urlkey, r.timestamp, r.shard_file, r.offset, r.length)
+        for r in idx.collect()
+    ) == sorted(
+        (e[0].split(" ")[0], e[0].split(" ")[1], e[1], int(e[2]), int(e[3]))
+        for e in entries
+    )
+    # point lookups: one block decompressed per probe, absent keys miss
+    for r in lines.limit(5).collect():
+        assert r.line in W.zipnum_lookup(out, r.urlkey)
+    assert W.zipnum_lookup(out, "00,absent)/nope") == []
+    assert W.zipnum_lookup(out, "\x00") == []

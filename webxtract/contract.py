@@ -2111,3 +2111,29 @@ def q_structured_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", *[m[k].alias(k) for k in sorted(m)]
     ).orderBy("doc_id")
+
+
+def q_zipnum_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipnum (pywb cluster.idx) secondary-index layout over a CDX
+    line corpus synthesized from documents: md5-prefixed SURT-style
+    urlkeys spread lines across prefix buckets, 37-line blocks, 4
+    shards.  Verifies the distributed layout computation — the global
+    sort rank composed WITHOUT a single-partition window, per-block
+    first keys, uncompressed within-shard offsets — against a DuckDB
+    window-function oracle.  The gzip block writer + one-block random
+    access on top of this layout are pinned byte-for-byte in
+    tests/test_warc.py."""
+    from webxtract.warc import cdx_line_expr, zipnum_index
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    did = F.col("doc_id").cast("string")
+    urlkey = F.concat(F.substring(F.md5(did), 1, 2), F.lit(",site)/"), did)
+    ts = (F.lit(20260101000000) + F.col("doc_id") % 9973).cast("string")
+    url = F.concat(F.lit("http://site.example/"), did)
+    line = cdx_line_expr(urlkey, ts, url, F.lit("text/html"), F.lit(200))
+    lines = d.select(
+        urlkey.alias("urlkey"), ts.alias("timestamp"), line.alias("line")
+    )
+    return zipnum_index(
+        lines, lines_per_block=37, n_shards=4, prefix_len=2
+    ).orderBy("shard", "block_seq")

@@ -2956,3 +2956,56 @@ SELECT doc_id,
             ELSE '' END AS published_time
 FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
+
+
+# Zipnum secondary-index layout (contract.q_zipnum_index): the same
+# CDX line corpus rebuilt from documents, globally ranked with one
+# window (the oracle MAY use a global window — the engine may not),
+# cut into 37-line blocks and 4 shards with the engine's exact
+# blocks-per-shard rule, per-block first key + uncompressed offsets.
+ORACLES["zipnum_index"] = """
+WITH lines AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) || ',site)/'
+           || CAST(doc_id AS VARCHAR) AS urlkey,
+         CAST(20260101000000 + doc_id % 9973 AS VARCHAR) AS timestamp,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) || ',site)/'
+           || CAST(doc_id AS VARCHAR)
+           || ' ' || CAST(20260101000000 + doc_id % 9973 AS VARCHAR)
+           || ' http://site.example/' || CAST(doc_id AS VARCHAR)
+           || ' text/html 200' AS line
+  FROM documents WHERE text IS NOT NULL
+),
+ranked AS (
+  SELECT urlkey, timestamp, line,
+         row_number() OVER (ORDER BY urlkey, timestamp, line) - 1 AS rnk,
+         count(*) OVER () AS n
+  FROM lines
+),
+blocked AS (
+  SELECT urlkey, timestamp, line, rnk,
+         rnk // 37 AS block_seq,
+         GREATEST(1, CAST(CEIL(CEIL(n / 37.0) / 4.0) AS BIGINT)) AS bps
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(block_seq // bps AS INTEGER) AS shard,
+         block_seq,
+         MIN(rnk) AS first_rnk,
+         CAST(SUM(strlen(line) + 1) AS BIGINT) AS length,
+         COUNT(*) AS n_lines
+  FROM blocked GROUP BY 1, 2
+)
+SELECT a.shard,
+       printf('cdx-%05d.gz', a.shard) AS shard_file,
+       a.block_seq,
+       r.urlkey,
+       r.timestamp,
+       CAST(COALESCE(SUM(a.length) OVER (
+              PARTITION BY a.shard ORDER BY a.block_seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS offset,
+       a.length,
+       a.n_lines
+FROM agg a JOIN ranked r ON r.rnk = a.first_rnk
+ORDER BY shard, block_seq
+"""
