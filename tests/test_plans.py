@@ -437,20 +437,27 @@ def test_bigram_perplexity_broadcast_stats(spark):
     assert "TakeOrderedAndProject" in plan  # the top-k stats heads
 
 
-def test_semantic_dedup_blocked_join_no_lambdas(spark):
-    """SemDeDup pair stage: (1) the self-join is an equi-join on the
-    cluster blocking key (SortMergeJoin/ShuffledHashJoin), never a
-    cartesian; (2) no interpreted higher-order functions anywhere —
-    the distance and cosine are unrolled codegen arithmetic (the HOF
-    form cost ~1us per element interpreted, the measured wall at k=64);
-    (3) the centroid side is a broadcast, not a literal inlined into
-    the expression tree (which the self-join's inferred null filters
-    would clone megabyte-scale into both sides)."""
+def test_semantic_dedup_blocked_kernel_no_lambdas(spark):
+    """SemDeDup pair stage (round-6 shape): (1) the within-cluster
+    quadratic runs in ONE per-cluster vectorized NumPy kernel
+    (FlatMapGroupsInPandas) — never a JVM self-join whose per-pair
+    unrolled dot falls out of HotSpot JIT (8 KB bytecode cap; measured
+    ~15 us/pair interpreted = 238 s at sf1.0 vs ~5 s here) and never a
+    cartesian; (2) each (cluster, id, vector) row is shuffled exactly
+    once (one Exchange on cluster beyond the assignment's broadcast);
+    (3) no interpreted higher-order functions anywhere; (4) the
+    centroid side is a broadcast, not a literal inlined into the
+    expression tree."""
     from webxtract.contract import q_semantic_dedup
 
     plan = _plan(q_semantic_dedup(spark, TESTDATA))
     assert "CartesianProduct" not in plan
-    assert _nodes(plan, "SortMergeJoin") + _nodes(plan, "ShuffledHashJoin") >= 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1  # centroids
+    # one hash exchange (group by cluster for the kernel) + the final
+    # orderBy range exchange; the vectors never shuffle twice
+    assert _nodes(plan, "Exchange hashpartitioning") <= 2
     for hof in ("zip_with", "aggregate(", "transform("):
         assert hof not in plan, f"interpreted HOF {hof} in semantic_dedup plan"
 

@@ -504,52 +504,101 @@ def semantic_dedup_pairs(
     cosine >= threshold (a < b, cosine rounded 6 dp). Clustering turns
     the O(N^2) all-pairs cosine into O(sum |c|^2): at 10^12 documents
     the operator is run with k ~ N/target so each cluster holds ~1-10k
-    vectors and the per-cluster quadratic is a single in-partition
-    join; the shuffle ships (cluster, id, vector) once per side. Same
-    blocked-join shape as the banded-LSH near-dup (near_dup_pairs),
-    with the semantic blocking SemDeDup showed prunes better than
-    random projections on embedding corpora.
+    vectors and the per-cluster quadratic runs inside one task; the
+    shuffle ships each (cluster, id, vector) row exactly once.
 
     Assignment uses the broadcast-join form (assign_clusters), not
-    the literal form: the self-join below makes Catalyst clone the
-    assignment expression into inferred isnotnull pushdowns on BOTH
-    sides, and at useful k the cloned literal tree dominates the
-    whole query (see assign_clusters docstring for the measurement).
+    the literal form: at useful k an inlined centroid literal tree
+    dominates planning (see assign_clusters docstring).
 
-    The cosine is likewise codegen arithmetic, not the zip_with/
-    aggregate HOF: Catalyst pushes the `cosine >= threshold` filter
-    INTO the sort-merge join's non-equi condition, so the expression
-    is evaluated once per candidate pair — interpreted lambdas there
-    were the measured wall (pairs stage 12-15s warm at 37k pairs).
-    Norms are precomputed per ROW before the join (the oracle's
-    sqrt(list_sum(..)) per side — same value, k-fold cheaper), so the
-    per-pair cost is one unrolled in-order dot product + a divide."""
+    The pair stage is a per-cluster vectorized NumPy kernel
+    (applyInPandas), not a JVM self-join. The round-5 self-join form
+    evaluated one 64-term unrolled dot per candidate PAIR inside the
+    SortMergeJoin condition; the generated method for that expression
+    exceeds HotSpot's 8 KB JIT bytecode cap (DontCompileHugeMethods),
+    so every pair ran in the bytecode interpreter at ~15 us/pair —
+    measured 1000 CPU core-s / 238 s wall on 6.4M candidates at sf1.0
+    (vs 24 s with codegen forced off via hugeMethodLimit, vs ~3 s
+    here). NumPy does the same arithmetic two orders of magnitude
+    faster, and only N rows cross the Python boundary — pairs are
+    generated and filtered inside the worker, survivors only come
+    back.
+
+    Float contract (bit-exact vs the DuckDB oracle): the dot and the
+    norms accumulate in float64 left-to-right over dimensions — the
+    kernel loops over dims, vectorized ACROSS pairs, so each pair's
+    sum has exactly the oracle's in-order association; cosine =
+    dot / (na * nb); rounding reproduces Spark's round() (BigDecimal
+    HALF_UP over the shortest-repr decimal) via Decimal(repr(x)) on
+    the few pairs inside the 0.5e-6 margin of the threshold — below
+    the margin a raw cosine cannot round up to the threshold, so the
+    cheap vectorized comparison disposes of everything else."""
     dim = len(centroids[0])
-    a = assign_clusters(
-        df, centroids, vec_col=vec_col, id_col=id_col
-    ).withColumn("nrm", F.expr(norm_sql("v", dim)))
-    # materialize the assignment once: a self-join otherwise CLONES
-    # the whole assignment subtree (scan + broadcast-join + argmin)
-    # into both sides and runs it twice. At corpus scale SemDeDup
-    # persists assignments before the pair stage for the same reason
-    # (they also feed cluster-size diagnostics and re-runs).
-    a = a.localCheckpoint(eager=False)
-    cosine = F.round(
-        F.expr(dot_sql("l.v", "r.v", dim))
-        / (F.col("l.nrm") * F.col("r.nrm")),
-        6,
-    )
+    a = assign_clusters(df, centroids, vec_col=vec_col, id_col=id_col)
+    thr = float(threshold)
+
+    def _cluster_pairs(pdf):  # noqa: ANN001, ANN202
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        # in-order sum of squares per row (vectorized across rows)
+        acc = V[:, 0] * V[:, 0]
+        for i in range(1, dim):
+            acc = acc + V[:, i] * V[:, i]
+        nrm = np.sqrt(acc)
+        out_a, out_b, out_c = [], [], []
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        # chunk the upper-triangle pair set so peak memory stays
+        # ~2 * chunk * dim * 8B per task regardless of cluster size
+        chunk = 200_000
+        iu, ju = np.triu_indices(n, 1)
+        for s in range(0, len(iu), chunk):
+            ci, cj = iu[s : s + chunk], ju[s : s + chunk]
+            A, B = V[ci], V[cj]
+            d = A[:, 0] * B[:, 0]
+            for i in range(1, dim):
+                d = d + A[:, i] * B[:, i]
+            cos = d / (nrm[ci] * nrm[cj])
+            # margin: raw below thr - 0.5e-6 cannot round up to thr
+            m = cos >= thr - 5.000001e-7
+            if not m.any():
+                continue
+            for pa, pb, c in zip(ids[ci[m]], ids[cj[m]], cos[m]):
+                r = float(
+                    Decimal(repr(float(c))).quantize(q6, ROUND_HALF_UP)
+                )
+                if r >= thr:
+                    out_a.append(int(pa))
+                    out_b.append(int(pb))
+                    out_c.append(r)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a": np.asarray(out_a, dtype=np.int64),
+                "b": np.asarray(out_b, dtype=np.int64),
+                "cosine": np.asarray(out_c, dtype=np.float64),
+            }
+        )
+
     return (
-        a.alias("l")
-        .join(
-            a.alias("r"),
-            (F.col("l.cluster") == F.col("r.cluster"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            cosine.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        a.select("cluster", "id", "v")
+        .groupBy("cluster")
+        .applyInPandas(_cluster_pairs, "a long, b long, cosine double")
     )
