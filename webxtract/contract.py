@@ -625,7 +625,7 @@ def q_tag_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     so hit counts and the first-wins argmax are all exercised; the
     oracle generates the same counts and CASE-argmax from the same
     TOPIC_TAXONOMY table."""
-    from webxtract.curation import tag_topics_exprs
+    from webxtract.curation import tag_topics_frame
 
     d = _t(spark, sf_dir, "documents")
     m = F.col("doc_id") % 5
@@ -640,10 +640,11 @@ def q_tag_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " Symptom diagnosis and treatment for the patient."))
         .otherwise(F.lit(""))
     )
-    e = tag_topics_exprs(F.concat(F.coalesce("text", F.lit("")), planted))
-    return d.select(
-        "doc_id", *[v.alias(k) for k, v in e.items()]
-    ).orderBy("doc_id")
+    base = d.select(
+        "doc_id",
+        F.concat(F.coalesce("text", F.lit("")), planted).alias("text"),
+    )
+    return tag_topics_frame(base).orderBy("doc_id")
 
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,6 +940,42 @@ def _run_available_now(q) -> None:  # noqa: ANN001
     q.awaitTermination(600)
 
 
+def _twin_tmp_dir() -> str | None:
+    """Scratch base for the stream twins' drops/checkpoint/sink: tmpfs
+    when the host has one (the twins are bounded-row correctness
+    fixtures whose checkpoint is torn down in the same function — disk
+    durability buys nothing; HDFS-state-store delta/snapshot fsyncs to
+    spinning /tmp were ~1/3 of each twin's wall), default tempdir
+    otherwise. A production stream points its checkpoint at durable
+    storage through its own ``checkpoint_path`` argument — this helper
+    is only ever used for the in-query throwaway dirs."""
+    import os
+
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+class _twin_state_partitions:
+    """Temporarily right-size ``spark.sql.shuffle.partitions`` for a
+    stream-twin run. Structured Streaming pins the stateful-operator
+    partition count from this conf at checkpoint creation; the twins
+    process <=550 rows by construction (fixed slices, sf-independent),
+    so the session default (sized for corpus-scale shuffles) only
+    multiplies per-batch state-store files and tasks — measured 32
+    partitions x (delta + snapshot + commit) per micro-batch for a
+    500-row drop. 8 is sized to the twins' fixed row bound, not to the
+    local core count; restored on exit either way."""
+
+    def __init__(self, spark: SparkSession, n: int = 8) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:  # noqa: ANN002
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def q_exact_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (``streaming.start_dedup_stream`` /
     dropDuplicatesWithinWatermark) run END-TO-END as two real
@@ -961,7 +998,7 @@ def q_exact_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from webxtract.streaming import start_dedup_stream
 
-    tmp = tempfile.mkdtemp(prefix="webxtract_twin_exact_")
+    tmp = tempfile.mkdtemp(prefix="webxtract_twin_exact_", dir=_twin_tmp_dir())
     drops, out, ckpt = f"{tmp}/drops", f"{tmp}/out", f"{tmp}/ckpt"
     try:
         d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
@@ -971,9 +1008,10 @@ def q_exact_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         _twin_pages(d, F.col("doc_id"), uniq, "2026-01-15 12:00:00").coalesce(
             1
         ).write.mode("append").parquet(drops)
-        _run_available_now(
-            start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
-        )
+        with _twin_state_partitions(spark):
+            _run_available_now(
+                start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
+            )
 
         copies = _twin_pages(
             d.filter(F.col("doc_id") % 10 == 0),
@@ -990,9 +1028,10 @@ def q_exact_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "2026-01-15 13:00:00",
         )
         copies.unionByName(fresh).coalesce(1).write.mode("append").parquet(drops)
-        _run_available_now(
-            start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
-        )
+        with _twin_state_partitions(spark):
+            _run_available_now(
+                start_dedup_stream(spark, drops, out, ckpt, watermark="48 hours")
+            )
 
         res = (
             spark.read.parquet(out)
@@ -1030,7 +1069,7 @@ def q_near_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from webxtract.streaming import start_near_dedup_stream
 
-    tmp = tempfile.mkdtemp(prefix="webxtract_twin_near_")
+    tmp = tempfile.mkdtemp(prefix="webxtract_twin_near_", dir=_twin_tmp_dir())
     drops, out = f"{tmp}/drops", f"{tmp}/out"
     fps, ckpt = f"{tmp}/fps", f"{tmp}/ckpt"
     try:
@@ -1041,11 +1080,12 @@ def q_near_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
             "2026-01-15 12:00:00",
         ).coalesce(1).write.mode("append").parquet(drops)
-        _run_available_now(
-            start_near_dedup_stream(
-                spark, drops, out, fps, ckpt, max_hamming=3
+        with _twin_state_partitions(spark):
+            _run_available_now(
+                start_near_dedup_stream(
+                    spark, drops, out, fps, ckpt, max_hamming=3
+                )
             )
-        )
 
         copies = _twin_pages(
             docs.filter((F.col("doc_id") < 150) & (F.col("doc_id") % 5 == 0)),
@@ -1060,11 +1100,12 @@ def q_near_dedup_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "2026-01-15 13:00:00",
         )
         copies.unionByName(fresh).coalesce(1).write.mode("append").parquet(drops)
-        _run_available_now(
-            start_near_dedup_stream(
-                spark, drops, out, fps, ckpt, max_hamming=3
+        with _twin_state_partitions(spark):
+            _run_available_now(
+                start_near_dedup_stream(
+                    spark, drops, out, fps, ckpt, max_hamming=3
+                )
             )
-        )
 
         res = (
             spark.read.parquet(out)
@@ -1420,12 +1461,13 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_script_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profile per document: per-script character
-    fractions + dominant script (first-wins ties in SCRIPTS order)."""
-    d = _t(spark, sf_dir, "documents")
-    sig = textops.script_signals_exprs(F.col("text"))
-    return d.select(
-        "doc_id", *[sig[k].alias(k) for k in sorted(sig)]
-    ).orderBy("doc_id")
+    fractions + dominant script (first-wins ties in SCRIPTS order).
+    Served by the mapInPandas classify-once kernel
+    (textops.script_signals_frame) — same columns/values as the
+    expression form, one character-classification pass instead of
+    7 regex-replace passes per document."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.script_signals_frame(d).orderBy("doc_id")
 
 
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from webxtract.dedup import shingle_hashes_expr
 
@@ -73,32 +74,82 @@ def repetition_signals(
     len(text), the repetition filter's core statistic (can exceed 1
     for self-overlapping grams; both engines define it identically).
 
-    Scale shape: ZERO shuffles. n-gram counting is document-local, so
-    the top-gram statistic is computed inside one projection
-    (sort-the-gram-multiset + run-length scan per n,
-    ``top_gram_cover_expr``) instead of the previous explode +
-    groupBy(id, gram) + groupBy(id) + join-back per n — at 10^12 docs
-    that removed three full-corpus-width shuffle/join rounds."""
-    from webxtract.textops import line_repetition_exprs, top_gram_covers_expr
+    Scale shape: ZERO shuffles. n-gram counting is document-local and
+    runs in ONE vectorized-boundary mapInPandas kernel (Counter-based
+    top-gram per doc) instead of the round-4 HOF-expression form
+    (transform/array_sort/aggregate): Spark evaluates higher-order
+    lambdas interpreted — CodegenFallback, ~1 us/element — which made
+    this the 2nd most expensive narrow query at sf1.0 (11.4 s; the
+    Python kernel computes the same statistics in ~1.5 s, and only
+    (id, text) crosses the boundary once). Float contract: fractions
+    round via Decimal(repr(x)) HALF_UP — bit-equal to Spark round()'s
+    BigDecimal-over-shortest-repr path the oracle was verified
+    against. Tokenization replicates split(trim(text), '\\s+')
+    exactly: trim strips 0x20 only, \\s is the ASCII class (Java
+    semantics; re.ASCII), split keeps leading/trailing empties
+    (Java limit=-1)."""
+    id_field = df.schema[id_col]
+    ns = tuple(ns)
 
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    line_sigs = line_repetition_exprs(F.col(text_col))
-    chars = F.length(text)
-    covers = top_gram_covers_expr(text, ns)  # one tokenization for all n
-    frac_cols = [
-        F.round(
-            F.when(chars > 0, covers[f"c{n}"] / chars.cast("double")).otherwise(
-                0.0
-            ),
-            6,
-        ).alias(f"top{n}gram_char_frac")
-        for n in ns
-    ]
-    return df.select(
-        F.col(id_col),
-        *[c.alias(nm) for nm, c in line_sigs.items()],
-        *frac_cols,
+    def _signals(batches):  # noqa: ANN001, ANN202
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP))
+
+        def one(text):  # noqa: ANN001
+            if text is None:
+                text = ""
+            lines = text.split("\n")
+            n = len(lines)
+            nd = len(dict.fromkeys(lines))
+            chars_l = sum(len(l) for l in lines)
+            uchars = sum(len(l) for l in dict.fromkeys(lines))
+            dup_line = r6((n - nd) / n) if n > 0 else 0.0
+            dup_char = r6((chars_l - uchars) / chars_l) if chars_l > 0 else 0.0
+            toks = ws.split(text.strip(" "))
+            chars = len(text)
+            out = [dup_line, dup_char]
+            from collections import Counter
+
+            for k in ns:
+                if len(toks) >= k and chars > 0:
+                    grams = Counter(
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    )
+                    cnt, glen = max(
+                        (c, len(g)) for g, c in grams.items()
+                    )
+                    out.append(r6(cnt * glen / chars))
+                else:
+                    out.append(0.0)
+            return out
+
+        cols = ["dup_line_frac", "dup_line_char_frac"] + [
+            f"top{k}gram_char_frac" for k in ns
+        ]
+        for pdf in batches:
+            sig = [one(t) for t in pdf[text_col]]
+            res = pd.DataFrame(sig, columns=cols, dtype="float64")
+            res.insert(0, id_col, pdf[id_col].to_numpy())
+            yield res
+
+    schema = StructType(
+        [id_field]
+        + [
+            StructField(nm, DoubleType(), True)
+            for nm in ["dup_line_frac", "dup_line_char_frac"]
+            + [f"top{k}gram_char_frac" for k in ns]
+        ]
     )
+    return df.select(id_col, text_col).mapInPandas(_signals, schema)
 
 
 def remove_boilerplate_lines(
@@ -936,6 +987,64 @@ def tag_topics_exprs(
         [(name, counts[name]) for name in tax], "other"
     )
     return out
+
+
+def tag_topics_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    taxonomy: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Frame-level form of ``tag_topics_exprs``: identical output
+    (id, n_<topic>..., topic) from ONE mapInPandas pass. The
+    expression form evaluates ~52 interpreted `contains` lambdas per
+    document (HOFs are CodegenFallback — measured 38 executor-CPU
+    core-s / 2.0 s wall at sf1.0); CPython's substring search does the
+    same containment test natively (~1 core-s). Semantics replicated
+    exactly: lowercase once, hit = substring containment counted per
+    keyword, argmax = first strictly-greater positive count in
+    taxonomy order, NULL text -> all zeros + 'other'."""
+    tax = taxonomy or TOPIC_TAXONOMY
+    id_field = df.schema[id_col]
+    topics = list(tax)
+    kw_lists = [list(map(str, tax[t])) for t in topics]
+
+    def _kernel(batches):  # noqa: ANN001, ANN202
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for t in pdf[text_col]:
+                low = (t or "").lower()
+                counts = [
+                    sum(1 for kw in kws if kw in low) for kws in kw_lists
+                ]
+                best, top = 0, "other"
+                for c, name in zip(counts, topics):
+                    if c > 0 and c > best:
+                        best, top = c, name
+                rows.append(counts + [top])
+            out = pd.DataFrame(
+                rows, columns=[f"n_{t}" for t in topics] + ["topic"]
+            )
+            for t in topics:
+                out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [id_field]
+        + [StructField(f"n_{t}", LongType(), True) for t in topics]
+        + [StructField("topic", StringType(), True)]
+    )
+    return df.select(id_col, text_col).mapInPandas(_kernel, schema)
 
 
 def value_percentiles(

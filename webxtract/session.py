@@ -96,6 +96,12 @@ def get_spark(
     # did not beat the walls and leave the old gen too small for the
     # resident broadcast/task state — rejected.
     def _gc_opts(mem: str) -> str:
+        # WEBXTRACT_GC_OPTS overrides the whole option string (the A/B
+        # hook used for the round-6 GC matrix in BENCH/BASELINE.md and
+        # the cluster-side escape hatch).
+        env = os.environ.get("WEBXTRACT_GC_OPTS")
+        if env:
+            return env
         return (
             f"-XX:+UseParallelGC -Xms{mem} -XX:-UseAdaptiveSizePolicy"
             " -XX:NewRatio=1"

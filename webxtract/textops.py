@@ -549,6 +549,124 @@ def script_signals_exprs(text: Column) -> dict[str, Column]:
     return out
 
 
+_SCRIPT_LUT: dict = {"arr": None, "res": None}
+_JAVA_WS = {0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D}  # Java regex \s (ASCII)
+
+
+def _script_lut():  # noqa: ANN202
+    """Lazy codepoint -> class lookup (0..len(SCRIPTS)-1 per script,
+    len = ASCII-\\s, len+1 = other). Module-level so a reused Python
+    worker keeps it across tasks; codepoints are classified on first
+    sight only (the fixture corpus has a few hundred distinct chars),
+    via the `regex` module's \\p{IsXxx} script properties — the same
+    Unicode script data Java's regex and DuckDB's RE2 read."""
+    if _SCRIPT_LUT["arr"] is None:
+        import numpy as np
+        import regex as _re
+
+        _SCRIPT_LUT["arr"] = np.full(0x110000, 255, dtype=np.uint8)
+        _SCRIPT_LUT["res"] = [
+            _re.compile(r"\A" + cls + r"\Z") for _, cls in SCRIPTS
+        ]
+    return _SCRIPT_LUT["arr"], _SCRIPT_LUT["res"]
+
+
+def script_signals_frame(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """Frame-level form of ``script_signals_exprs``: identical output
+    (id, dominant_script, frac_<script>... in sorted column order) from
+    ONE mapInPandas pass. The expression form runs len(SCRIPTS)+1 full
+    Java-regex replace passes over every document (measured 46-66
+    executor-CPU core-s / 2.2 s wall at sf1.0); here each character is
+    classified once through a lazily-built codepoint lookup table and
+    counted with one bincount per document (~5 core-s). Float contract:
+    count/base is an exact int->float64 division on both sides;
+    fractions round via Decimal(repr(x)) HALF_UP (= Spark round());
+    dominant script replicates first_wins_argmax exactly (first
+    strictly-greater positive count in SCRIPTS order, else 'other')."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    names = [n for n, _ in SCRIPTS]
+
+    def _kernel(batches):  # noqa: ANN001, ANN202
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        lut, res = _script_lut()
+        n_s = len(names)
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP))
+
+        def classify(cps):  # noqa: ANN001
+            fresh = cps[lut[cps] == 255]
+            for cp in np.unique(fresh):
+                ch = chr(int(cp))
+                cls = n_s + 1
+                if int(cp) in _JAVA_WS:
+                    cls = n_s
+                else:
+                    for i, r in enumerate(res):
+                        if r.match(ch):
+                            cls = i
+                            break
+                lut[cp] = cls
+            return lut[cps]
+
+        for pdf in batches:
+            rows = []
+            for t in pdf[text_col]:
+                if t is None:
+                    t = ""
+                if t:
+                    cps = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    )
+                    counts = np.bincount(classify(cps), minlength=n_s + 2)
+                else:
+                    counts = np.zeros(n_s + 2, dtype=np.int64)
+                base = int(len(t) - counts[n_s])
+                fracs = [
+                    r6(int(counts[i]) / base) if base > 0 else 0.0
+                    for i in range(n_s)
+                ]
+                best, dom = 0, "other"
+                for i, nm in enumerate(names):
+                    c = int(counts[i])
+                    if c > 0 and c > best:
+                        best, dom = c, nm
+                rows.append([dom] + fracs)
+            out = pd.DataFrame(
+                rows, columns=["dominant_script"] + [f"frac_{n}" for n in names]
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            ordered = [id_col] + sorted(out.columns[1:])
+            yield out[ordered]
+
+    schema = StructType(
+        [id_field]
+        + [
+            StructField(nm, StringType() if nm == "dominant_script" else DoubleType(), True)
+            for nm in sorted(
+                ["dominant_script"] + [f"frac_{n}" for n in names]
+            )
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_kernel, schema)
+
+
 def bm25_scores(
     df: "DataFrame",  # noqa: F821
     terms: tuple[str, ...],
