@@ -460,7 +460,7 @@ def q_lang_id_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle literal-table fold per language. The DuckDB oracle
     folds the identical bucket sequence through the identical weight
     literals."""
-    from webxtract.textops import LANG_STOPWORDS, lang_id_clf_expr
+    from webxtract.textops import LANG_STOPWORDS, lang_id_clf_frame
 
     d = _t(spark, sf_dir, "documents")
     suffix = F.create_map(
@@ -475,12 +475,9 @@ def q_lang_id_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" "),
         F.coalesce(F.element_at(suffix, F.col("lang")), F.lit("")),
     )
-    r = lang_id_clf_expr(planted)
-    return d.select("doc_id", "lang", r.alias("r")).select(
-        "doc_id",
-        "lang",
-        F.col("r.predicted_lang").alias("predicted_lang"),
-        F.col("r.lang_score").alias("lang_score"),
+    base = d.select("doc_id", "lang", planted.alias("text"))
+    return lang_id_clf_frame(
+        base, keep_cols=("doc_id", "lang")
     ).orderBy("doc_id")
 
 
@@ -782,7 +779,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rationals, so the in-order sums agree before the 6dp round."""
     import math
 
-    from webxtract.curation import bucket_counts, dsir_score_exprs
+    from webxtract.curation import bucket_counts, dsir_scores_frame
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     counts = {
@@ -794,10 +791,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         - math.log((counts.get(b, 0) + 1.0) / (total + 64))
         for b in range(64)
     ]
-    e = dsir_score_exprs(F.col("text"), lr, n_buckets=64)
-    return d.select(
-        "doc_id", *[v.alias(k) for k, v in e.items()]
-    ).orderBy("doc_id")
+    return dsir_scores_frame(d, lr, n_buckets=64).orderBy("doc_id")
 
 
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2042,13 +2036,12 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_repetition_signals: bench.py re-chunks the single-row-group
     sandbox fixture outside the timed region rather than paying a
     repartition shuffle inside the measured query)."""
-    from webxtract.curation import classifier_score_expr, classifier_weights
+    from webxtract.curation import classifier_scores_frame, classifier_weights
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    c = classifier_score_expr(F.col("text"), classifier_weights(64))
-    return d.select("doc_id", c.alias("c")).select(
-        "doc_id", "c.n_feats", "c.clf_score", "c.clf_keep"
-    ).orderBy("doc_id")
+    return classifier_scores_frame(d, classifier_weights(64)).orderBy(
+        "doc_id"
+    )
 
 
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1165,19 +1165,46 @@ def bucket_counts(
     shuffle, so the reduce costs O(n_buckets * partitions) network
     regardless of corpus size. Callers collect the n_buckets rows
     (same class as the ANN query-vector fetch) to build the log-ratio
-    literal for dsir_score_exprs."""
-    from webxtract.textops import stable_hash60_expr, word_grams_expr
+    literal for dsir_score_exprs.
 
-    grams = word_grams_expr(F.coalesce(F.col(text_col), F.lit("")), 2)
-    return (
-        df.select(F.explode(grams).alias("g"))
-        .select(
-            F.pmod(stable_hash60_expr(F.col("g")), F.lit(n_buckets)).alias(
-                "bucket"
-            )
+    Round 6: the per-gram md5 + explode moved into a mapInPandas
+    partial-count kernel — each task emits <= n_buckets (bucket,
+    partial-count) rows from a CPython Counter (hashlib md5, identical
+    low-15-hex-digit bucket), and the groupBy sums the partials. Same
+    map-side-collapsed shuffle shape, same exact integer counts,
+    without the interpreted per-gram hash expression (12-27 CPU core-s
+    of the dsir_weights query at sf1.0 was this prepass)."""
+
+    def _partials(batches):  # noqa: ANN001, ANN202
+        import hashlib
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        c: Counter = Counter()
+        for pdf in batches:
+            for t in pdf[text_col]:
+                toks = ws.split((t or "").strip(" "))
+                for i in range(len(toks) - 1):
+                    g = toks[i] + " " + toks[i + 1]
+                    h = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    c[h % n_buckets] += 1
+        yield pd.DataFrame(
+            {
+                "bucket": pd.array(sorted(c), dtype="int64"),
+                "n": pd.array([c[b] for b in sorted(c)], dtype="int64"),
+            }
         )
+
+    return (
+        df.select(text_col)
+        .mapInPandas(_partials, "bucket long, n long")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("n").cast("long").alias("n"))
     )
 
 
@@ -1211,6 +1238,151 @@ def dsir_score_exprs(
         "n_grams": F.size(grams).cast("long"),
         "dsir_logweight": F.round(score, 6),
     }
+
+
+def dsir_scores_frame(
+    df: DataFrame,
+    log_ratio: list[float],
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-level form of ``dsir_score_exprs``: identical
+    (id, n_grams, dsir_logweight) from ONE mapInPandas pass. The
+    expression form folds an interpreted HOF lambda per bigram with a
+    per-gram md5 inside it (measured 24-27 executor-CPU core-s / 1.4 s
+    at sf1.0); CPython's hashlib md5 + a list lookup do the same per
+    gram at ~0.5 us (~1 core-s). Exactness: identical tokenization
+    (Java-semantics ASCII \\s split of space-trimmed text), identical
+    hash (low 15 hex chars of md5, 60-bit non-negative so ``%`` ==
+    pmod), float64 accumulation in gram order, Decimal HALF_UP round
+    (= Spark round())."""
+    id_field = df.schema[id_col]
+    lr = [float(x) for x in log_ratio]
+
+    def _kernel(batches):  # noqa: ANN001, ANN202
+        import hashlib
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        q6 = Decimal("0.000001")
+        for pdf in batches:
+            n_g, sc = [], []
+            for t in pdf[text_col]:
+                toks = ws.split((t or "").strip(" "))
+                acc = 0.0
+                n = max(0, len(toks) - 1) if len(toks) >= 2 else 0
+                for i in range(n):
+                    g = toks[i] + " " + toks[i + 1]
+                    h = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    acc = acc + lr[h % n_buckets]
+                n_g.append(n)
+                sc.append(
+                    float(Decimal(repr(acc)).quantize(q6, ROUND_HALF_UP))
+                )
+            out = pd.DataFrame(
+                {
+                    "n_grams": pd.array(n_g, dtype="int64"),
+                    "dsir_logweight": pd.array(sc, dtype="float64"),
+                }
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            id_field,
+            StructField("n_grams", LongType(), True),
+            StructField("dsir_logweight", DoubleType(), True),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_kernel, schema)
+
+
+def classifier_scores_frame(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = -0.1,
+    n_buckets: int = 64,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-level form of ``classifier_score_expr``: identical
+    (id, n_feats, clf_score, clf_keep) from ONE mapInPandas pass
+    (expression form measured 30 CPU core-s / 1.5 s at sf1.0; ~1
+    core-s here). Same exactness contract as dsir_scores_frame; the
+    sigmoid uses libm exp on both sides and the score rounds 6 dp
+    before the keep comparison exactly as the expression form does."""
+    id_field = df.schema[id_col]
+    w = [float(x) for x in weights]
+    bias, threshold = float(bias), float(threshold)
+
+    def _kernel(batches):  # noqa: ANN001, ANN202
+        import hashlib
+        import math
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        q6 = Decimal("0.000001")
+        for pdf in batches:
+            n_f, sc, keep = [], [], []
+            for t in pdf[text_col]:
+                toks = ws.split((t or "").strip(" "))
+                feats = list(toks)
+                for i in range(len(toks) - 1):
+                    feats.append(toks[i] + " " + toks[i + 1])
+                acc = 0.0
+                for g in feats:
+                    h = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    acc = acc + w[h % n_buckets]
+                logit = bias + acc / float(len(feats))
+                s = float(
+                    Decimal(repr(1.0 / (1.0 + math.exp(-logit)))).quantize(
+                        q6, ROUND_HALF_UP
+                    )
+                )
+                n_f.append(len(feats))
+                sc.append(s)
+                keep.append(s >= threshold)
+            out = pd.DataFrame(
+                {
+                    "n_feats": pd.array(n_f, dtype="int64"),
+                    "clf_score": pd.array(sc, dtype="float64"),
+                    "clf_keep": pd.array(keep, dtype="bool"),
+                }
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            id_field,
+            StructField("n_feats", LongType(), True),
+            StructField("clf_score", DoubleType(), True),
+            StructField("clf_keep", BooleanType(), True),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_kernel, schema)
 
 
 def split_assign_expr(

@@ -447,6 +447,97 @@ def lang_id_clf_expr(text: Column) -> Column:
     )
 
 
+def lang_id_clf_frame(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> "DataFrame":  # noqa: F821
+    """Frame-level form of ``lang_id_clf_expr``: identical
+    (keep_cols..., predicted_lang, lang_score) from ONE mapInPandas
+    pass. The expression form hashes every token with an interpreted
+    HOF lambda and folds 16 literal weight tables per document
+    (measured 18-19 executor-CPU core-s / 1.4 s at sf1.0; ~1 core-s
+    here). Exactness: identical lowercase + tokenization, identical
+    md5-60 bucket, per-language float64 sum in token order,
+    score = Decimal-HALF_UP round(sum/n, 6) (= Spark round()),
+    greatest + first-wins-equal argmax in LANG_CLF_LANGS order."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from webxtract.lang_clf import (
+        LANG_CLF_BUCKETS,
+        LANG_CLF_LANGS,
+        LANG_CLF_WEIGHTS,
+    )
+
+    keep_fields = [df.schema[c] for c in keep_cols]
+    langs = list(LANG_CLF_LANGS)
+    tables = [[float(x) for x in LANG_CLF_WEIGHTS[la]] for la in langs]
+    nb = int(LANG_CLF_BUCKETS)
+
+    def _kernel(batches):  # noqa: ANN001, ANN202
+        import hashlib
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+
+        for pdf in batches:
+            preds, scores = [], []
+            for t in pdf[text_col]:
+                toks = ws.split((t or "").lower().strip(" "))
+                buckets = [
+                    int(
+                        hashlib.md5(tk.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    % nb
+                    for tk in toks
+                ]
+                n = float(len(buckets))
+                best_s, best_i = None, 0
+                per = []
+                for li, tab in enumerate(tables):
+                    acc = 0.0
+                    for b in buckets:
+                        acc = acc + tab[b]
+                    per.append(r6(acc / n))
+                best_s = max(per)
+                for li, s in enumerate(per):
+                    if s == best_s:
+                        best_i = li
+                        break
+                preds.append(langs[best_i])
+                scores.append(best_s)
+            out = pd.DataFrame(
+                {
+                    "predicted_lang": preds,
+                    "lang_score": pd.array(scores, dtype="float64"),
+                }
+            )
+            for i, c in enumerate(keep_cols):
+                out.insert(i, c, pdf[c].to_numpy())
+            yield out
+
+    schema = StructType(
+        keep_fields
+        + [
+            StructField("predicted_lang", StringType(), True),
+            StructField("lang_score", DoubleType(), True),
+        ]
+    )
+    return df.select(*keep_cols, text_col).mapInPandas(_kernel, schema)
+
+
 def stable_hash60_expr(s: Column) -> Column:
     """Engine-neutral 60-bit hash: low 15 hex chars of md5, one native
     call per value on both engines — Spark
