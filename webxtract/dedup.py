@@ -683,6 +683,105 @@ def chunk_spans_expr(text: Column, boundary_mod: int = 16) -> Column:
     ).otherwise(bind_once(tokens_expr(text), build))
 
 
+def _py_chunk_spans(text, boundary_mod: int):  # noqa: ANN001, ANN202
+    """CPython twin of ``chunk_spans_expr``: [(idx, n_tok, chunk)].
+    Identical semantics — space-only trim emptiness guard, Java-ASCII
+    \\s tokenization, boundary after token i when md5-60(token_i) %
+    boundary_mod == 0, chunks joined by single spaces, 1-based idx."""
+    import hashlib
+    import re
+
+    t = text or ""
+    if t.strip(" ") == "":
+        return []
+    ws = _py_chunk_spans._ws
+    if ws is None:
+        ws = _py_chunk_spans._ws = re.compile(r"\s+", re.ASCII)
+    toks = ws.split(t.strip(" "))
+    n = len(toks)
+    starts, ends = [1], []
+    for i in range(1, n):
+        h = int(
+            hashlib.md5(toks[i - 1].encode("utf-8")).hexdigest()[:15], 16
+        )
+        if h % boundary_mod == 0:
+            ends.append(i)
+            starts.append(i + 1)
+    ends.append(n)
+    return [
+        (j + 1, e - s + 1, " ".join(toks[s - 1 : e]))
+        for j, (s, e) in enumerate(zip(starts, ends))
+    ]
+
+
+_py_chunk_spans._ws = None
+
+
+def _chunk_meta_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """(id, idx, n_tok, chunk_hash) — the chunk META rows all three
+    chunk operators start from, produced by ONE mapInPandas pass
+    instead of the HOF chunker + explode + per-chunk md5 expression
+    (higher-order lambdas evaluate interpreted — this meta branch was
+    25-40 executor-CPU core-s per chunk query at sf1.0, ~2 core-s
+    here). Chunk text never leaves the task; only (id, idx, n_tok,
+    hash60) rows come back — the same two-bigint-ish shuffle payload
+    contract as before."""
+    id_field = docs.schema[id_col]
+
+    def _kernel(batches):  # noqa: ANN001, ANN202
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, ntoks, hs = [], [], [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                for j, ntok, chunk in _py_chunk_spans(t, boundary_mod):
+                    ids.append(rid)
+                    idxs.append(j)
+                    ntoks.append(ntok)
+                    hs.append(
+                        int(
+                            hashlib.md5(chunk.encode("utf-8")).hexdigest()[
+                                :15
+                            ],
+                            16,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "idx": pd.array(idxs, dtype="int32"),
+                    "n_tok": pd.array(ntoks, dtype="int32"),
+                    "chunk_hash": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", id_field.dataType, True),
+            StructField("idx", IntegerType(), True),
+            StructField("n_tok", IntegerType(), True),
+            StructField("chunk_hash", LongType(), True),
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(_kernel, schema)
+
+
 def duplicate_chunks(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -700,17 +799,7 @@ def duplicate_chunks(
     two ints, with map-side partial aggregation. No pair join anywhere,
     so a million-fold-duplicated boilerplate chunk costs one group, not
     a quadratic bucket."""
-    ch = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(chunk_spans_expr(F.col(text_col), boundary_mod)).alias("c"),
-    ).select(
-        "id",
-        F.col("c.idx").alias("idx"),
-        F.col("c.n_tok").alias("n_tok"),
-        F.conv(F.substring(F.md5(F.col("c.chunk")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("chunk_hash"),
-    )
+    ch = _chunk_meta_frame(docs, id_col, text_col, boundary_mod)
     return (
         ch.filter(F.col("n_tok") >= min_dup_tokens)
         .groupBy("chunk_hash")
@@ -747,17 +836,7 @@ def dedup_chunks(
     itself is exchange-free."""
     from pyspark.sql.window import Window
 
-    ch = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(chunk_spans_expr(F.col(text_col), boundary_mod)).alias("c"),
-    ).select(
-        "id",
-        F.col("c.idx").alias("idx"),
-        F.col("c.n_tok").alias("n_tok"),
-        F.conv(F.substring(F.md5(F.col("c.chunk")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("chunk_hash"),
-    )
+    ch = _chunk_meta_frame(docs, id_col, text_col, boundary_mod)
     w = Window.partitionBy("chunk_hash").orderBy("id", "idx")
     drops = (
         ch.filter(F.col("n_tok") >= min_dup_tokens)
@@ -766,44 +845,68 @@ def dedup_chunks(
         .groupBy("id")
         .agg(F.collect_list("idx").alias("drop_idx"))
     )
-    from webxtract.exprs import bind_once
+    # unforced join, as before: AQE broadcasts the (small) drop list at
+    # runtime but degrades to a shuffle join instead of OOMing on a
+    # pathologically duplicated corpus
+    joined = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
+    ).join(drops, "id", "left")
+    id_field = docs.schema[id_col]
 
-    spans = chunk_spans_expr(F.col(text_col), boundary_mod)
-    dropset = F.coalesce(F.col("drop_idx"), F.array().cast("array<int>"))
+    def _rebuild(batches):  # noqa: ANN001, ANN202
+        import pandas as pd
 
-    def rebuild(sp: Column) -> Column:
-        # spans bound once: the interpreted rewrite references it for
-        # both the filtered reassembly and the chunk count
-        return F.struct(
-            F.array_join(
-                F.transform(
-                    F.filter(
-                        sp,
-                        lambda c: ~F.array_contains(dropset, c["idx"]),
-                    ),
-                    lambda c: c["chunk"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.size(sp).alias("n_chunks"),
-        )
+        for pdf in batches:
+            ids, cleans, n_ch, n_dr = [], [], [], []
+            for rid, t, drop in zip(
+                pdf["id"], pdf[text_col], pdf["drop_idx"]
+            ):
+                spans = _py_chunk_spans(t, boundary_mod)
+                if drop is None or (
+                    hasattr(drop, "__len__") and len(drop) == 0
+                ):
+                    dropset, nd = set(), 0
+                else:
+                    dropset = {int(x) for x in drop}
+                    nd = len(drop)
+                cleans.append(
+                    " ".join(c for j, _, c in spans if j not in dropset)
+                )
+                ids.append(rid)
+                n_ch.append(len(spans))
+                n_dr.append(nd)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "clean_text": cleans,
+                    "n_chunks": pd.array(n_ch, dtype="int32"),
+                    "n_dropped": pd.array(n_dr, dtype="int32"),
+                }
+            )
 
-    rebuilt = (
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col))
-        .join(drops, "id", "left")
-        .select(
-            "id",
-            bind_once(spans, rebuild).alias("o"),
-            F.size(dropset).alias("n_dropped"),
-        )
-        .select(
-            "id",
-            F.col("o.clean_text").alias("clean_text"),
-            F.col("o.n_chunks").alias("n_chunks"),
-            "n_dropped",
-        )
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
     )
-    return rebuilt
+
+    schema = StructType(
+        [
+            StructField("id", id_field.dataType, True),
+            StructField("clean_text", StringType(), True),
+            StructField("n_chunks", IntegerType(), True),
+            StructField("n_dropped", IntegerType(), True),
+        ]
+    )
+    # the rebuild kernel re-derives the deterministic chunking from the
+    # text and filters the drop list — same contract as the HOF
+    # rewrite, interpreted-lambda-free; the broadcast hint keeps the
+    # drop-list join off the shuffle path exactly as before (drops is
+    # bounded by documents-that-lose-a-chunk)
+    return joined.select("id", text_col, "drop_idx").mapInPandas(
+        _rebuild, schema
+    )
 
 
 def dedup_keep_best(
@@ -894,19 +997,9 @@ def doc_containment(
     were already near-identical elsewhere, never create false pairs.
     """
     sets = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(chunk_spans_expr(F.col(text_col), boundary_mod)).alias(
-                "c"
-            ),
-        )
-        .filter(F.col("c.n_tok") >= min_tok)
-        .select(
-            "id",
-            F.conv(F.substring(F.md5(F.col("c.chunk")), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("chunk_hash"),
-        )
+        _chunk_meta_frame(docs, id_col, text_col, boundary_mod)
+        .filter(F.col("n_tok") >= min_tok)
+        .select("id", "chunk_hash")
         .distinct()
     )
     sizes = (
