@@ -242,79 +242,140 @@ def near_dup_pairs(
     signature; candidates are pairs sharing ANY band's bucket; exact
     cosine verifies.
 
-    Scale shape (the round-1 fix): 16 planes/band gives 65,536 buckets
-    per band (vs 256), multiple bands restore recall, the candidate
-    shuffle carries only (id, band, bucket) — vectors are joined back
-    after pair dedup — and ``max_bucket_size`` drops degenerate hot
-    buckets outright (a bucket holding more vectors than the cap is a
-    near-constant region; all-pairs inside it is quadratic poison at
-    10^12 rows, and its pairs are recoverable by raising the cap or
-    adding planes). The cap is ON by default — at 10^12 rows hot
-    buckets are a certainty, so unbounded generation is the explicit
-    opt-in (``max_bucket_size=None``), not the default."""
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.array(
-            *[
-                band_bucket_expr(vec_col, dim, band, planes_per_band)
-                for band in range(n_bands)
-            ]
-        ).alias("buckets"),
-    )
-    posting = b.select("id", F.posexplode("buckets").alias("band", "bucket"))
-    if max_bucket_size is not None:
-        # window count over the SAME key the self-join shuffles on: the
-        # cap costs no extra exchange (the join below reuses it) and no
-        # side agg+join plan branches
-        from pyspark.sql import Window
+    Scale shape (round-6 form): 16 planes/band gives 65,536 buckets
+    per band (vs 256), multiple bands restore recall, and
+    ``max_bucket_size`` drops degenerate hot buckets outright (a
+    bucket holding more vectors than the cap is a near-constant
+    region; all-pairs inside it is quadratic poison at 10^12 rows, and
+    its pairs are recoverable by raising the cap or adding planes).
+    The cap is ON by default — at 10^12 rows hot buckets are a
+    certainty, so unbounded generation is the explicit opt-in
+    (``max_bucket_size=None``), not the default.
 
-        w = Window.partitionBy("band", "bucket")
-        posting = (
-            posting.withColumn("__n", F.count(F.lit(1)).over(w))
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
+    Both the banding and the within-bucket verification run as
+    vectorized NumPy kernels (the semantic_dedup_pairs lesson: the
+    round-5 JVM form evaluated the 64-term unrolled cosine inside a
+    self-join — past HotSpot's 8 KB JIT cap, hence interpreted — and
+    the signed projections as interpreted HOF lambdas, ~2 ms/row at
+    production width). Kernel A computes each vector's ``n_bands``
+    bucket ids (in-order float64 projections, exactly the oracle's
+    association) and emits one (band, bucket, id, v) row per band —
+    the vector ships n_bands times instead of being re-joined twice
+    after pair dedup, a deliberate trade: both designs move O(n_bands
+    x corpus) vector bytes once, this one without two join stages and
+    a candidate shuffle. Kernel B receives one bucket's rows, applies
+    the cap, generates a<b pairs and verifies exact cosine (in-order
+    dot, Decimal HALF_UP round inside a 0.5e-6 threshold margin);
+    survivors dedup on (a, b) across bands — band-identical values,
+    so the kept row is well-defined."""
+    planes = [
+        [
+            _plane_weight(band * planes_per_band + j, i)
+            for i in range(dim)
+        ]
+        for band in range(n_bands)
+        for j in range(planes_per_band)
+    ]
+    thr = float(threshold)
+    cap = max_bucket_size
+
+    def _bucketize(batches):  # noqa: ANN001, ANN202
+        import numpy as np
+        import pandas as pd
+
+        W = np.asarray(planes, dtype=np.float64)  # (n_bands*P, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # in-order projection per plane: acc over dims, vectorized
+            # across rows (same left-to-right association as _proj_sql)
+            out_band, out_bucket, out_id, out_v = [], [], [], []
+            for band in range(n_bands):
+                bucket = np.zeros(len(V), dtype=np.int64)
+                for j in range(planes_per_band):
+                    w = W[band * planes_per_band + j]
+                    acc = V[:, 0] * w[0]
+                    for i in range(1, dim):
+                        acc = acc + V[:, i] * w[i]
+                    bucket += (acc >= 0).astype(np.int64) << j
+                out_band.append(np.full(len(V), band, dtype=np.int32))
+                out_bucket.append(bucket)
+                out_id.append(ids)
+                out_v.append(pdf[vec_col].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "band": np.concatenate(out_band),
+                    "bucket": np.concatenate(out_bucket),
+                    "id": np.concatenate(out_id),
+                    "v": np.concatenate(out_v),
+                }
+            )
+
+    def _bucket_pairs(pdf):  # noqa: ANN001, ANN202
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
-    cand = (
-        posting.alias("l")
-        .join(
-            posting.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+        n = len(pdf)
+        if n < 2 or (cap is not None and n > cap):
+            return empty
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        acc = V[:, 0] * V[:, 0]
+        for i in range(1, dim):
+            acc = acc + V[:, i] * V[:, i]
+        nrm = np.sqrt(acc)
+        iu, ju = np.triu_indices(n, 1)
+        A, B = V[iu], V[ju]
+        d = A[:, 0] * B[:, 0]
+        for i in range(1, dim):
+            d = d + A[:, i] * B[:, i]
+        cos = d / (nrm[iu] * nrm[ju])
+        m = cos >= thr - 5.000001e-7
+        if not m.any():
+            return empty
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        out_a, out_b, out_c = [], [], []
+        for pa, pb, c in zip(ids[iu[m]], ids[ju[m]], cos[m]):
+            r = float(Decimal(repr(float(c))).quantize(q6, ROUND_HALF_UP))
+            if r >= thr:
+                out_a.append(int(pa))
+                out_b.append(int(pb))
+                out_c.append(r)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a": np.asarray(out_a, dtype=np.int64),
+                "b": np.asarray(out_b, dtype=np.int64),
+                "cosine": np.asarray(out_c, dtype=np.float64),
+            }
         )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    posting = df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(
+        _bucketize,
+        f"band int, bucket long, id long, v {vec_type}",
+    )
+    return (
+        posting.groupBy("band", "bucket")
+        .applyInPandas(_bucket_pairs, "a long, b long, cosine double")
         .dropDuplicates(["a", "b"])
     )
-    # norms precomputed per ROW (N evals, not per candidate pair), so
-    # the verify stage's generated code is ONE unrolled dot product —
-    # inlining dot + two norms per pair tripled the method size past
-    # what HotSpot will JIT (8KB bytecode) and the stage fell into the
-    # bytecode interpreter (measured 6-25s erratic vs ~3s).
-    vecs = b.select("id", "v", F.expr(norm_sql("v", dim)).alias("nrm"))
-    joined = cand.join(
-        vecs.select(
-            F.col("id").alias("a"),
-            F.col("v").alias("va"),
-            F.col("nrm").alias("na"),
-        ),
-        "a",
-    ).join(
-        vecs.select(
-            F.col("id").alias("b"),
-            F.col("v").alias("vb"),
-            F.col("nrm").alias("nb"),
-        ),
-        "b",
-    )
-    cosine = F.round(
-        F.expr(dot_sql("va", "vb", dim)) / (F.col("na") * F.col("nb")), 6
-    )
-    return joined.select(
-        "a",
-        "b",
-        cosine.alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
 
 
 def kmeans_assign(
