@@ -79,6 +79,8 @@ def main() -> None:
                 os.path.join(args.explain, f"{name}{args.suffix}.txt"), "w"
             ) as fh:
                 fh.write(plan)
+        if args.n <= 0:  # explain-only mode
+            continue
         walls, cpus_, gcs, runs = [], [], [], []
         for _ in range(args.n):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")

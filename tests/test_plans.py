@@ -445,19 +445,20 @@ def test_semantic_dedup_blocked_kernel_no_lambdas(spark):
     ~15 us/pair interpreted = 238 s at sf1.0 vs ~5 s here) and never a
     cartesian; (2) each (cluster, id, vector) row is shuffled exactly
     once (one Exchange on cluster beyond the assignment's broadcast);
-    (3) no interpreted higher-order functions anywhere; (4) the
-    centroid side is a broadcast, not a literal inlined into the
-    expression tree."""
+    (3) no interpreted higher-order functions anywhere; (4) assignment
+    is the mapInPandas NumPy kernel — no joins of any kind in the
+    whole plan (the round-5 BroadcastNestedLoopJoin centroid attach
+    and its groupBy(id) argmin exchange are gone)."""
     from webxtract.contract import q_semantic_dedup
 
     plan = _plan(q_semantic_dedup(spark, TESTDATA))
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
-    assert "SortMergeJoin" not in plan
-    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1  # centroids
-    # one hash exchange (group by cluster for the kernel) + the final
-    # orderBy range exchange; the vectors never shuffle twice
-    assert _nodes(plan, "Exchange hashpartitioning") <= 2
+    assert "MapInPandas" in plan  # the assignment kernel
+    assert "Join" not in plan
+    # exactly one hash exchange: group by cluster for the pair kernel
+    # (the only other exchange is the output orderBy's range partition)
+    assert plan.count("hashpartitioning(") == 1
     for hof in ("zip_with", "aggregate(", "transform("):
         assert hof not in plan, f"interpreted HOF {hof} in semantic_dedup plan"
 

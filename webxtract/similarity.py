@@ -568,9 +568,18 @@ def semantic_dedup_pairs(
     vectors and the per-cluster quadratic runs inside one task; the
     shuffle ships each (cluster, id, vector) row exactly once.
 
-    Assignment uses the broadcast-join form (assign_clusters), not
-    the literal form: at useful k an inlined centroid literal tree
-    dominates planning (see assign_clusters docstring).
+    Assignment (round 6) runs in the SAME kernel family as the pair
+    stage: a mapInPandas pass computes each vector's nearest centroid
+    in NumPy — in-order float64 squared-L2 per (row, centroid), exact
+    only-where-it-can-matter rounding (entries within 1.5e-6 of the
+    row minimum get the Decimal HALF_UP 6 dp round and the
+    (dist2, cluster) lexicographic tie-break; a gap above 1e-6 cannot
+    be reordered by two sub-0.5e-6 rounds). This replaces the
+    broadcast-nested-loop join + groupBy(id) argmin, whose unrolled
+    128-term distance evaluated interpreted (HotSpot 8 KB JIT cap,
+    ~19 CPU core-s at sf1.0) and whose argmin exchange shipped every
+    vector once more. assign_clusters (the JVM broadcast-join form)
+    remains for callers at k beyond literal-table sizes.
 
     The pair stage is a per-cluster vectorized NumPy kernel
     (applyInPandas), not a JVM self-join. The round-5 self-join form
@@ -595,8 +604,56 @@ def semantic_dedup_pairs(
     the margin a raw cosine cannot round up to the threshold, so the
     cheap vectorized comparison disposes of everything else."""
     dim = len(centroids[0])
-    a = assign_clusters(df, centroids, vec_col=vec_col, id_col=id_col)
+    cents = [[float(x) for x in c] for c in centroids]
     thr = float(threshold)
+
+    def _assign(batches):  # noqa: ANN001, ANN202
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64)  # (k, dim)
+        k = len(C)
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(V)
+            D = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                diff0 = V[:, 0] - C[j, 0]
+                acc = diff0 * diff0
+                for i in range(1, dim):
+                    d = V[:, i] - C[j, i]
+                    acc = acc + d * d
+                D[:, j] = acc
+            raw_min = D.min(axis=1)
+            clusters = np.empty(n, dtype=np.int64)
+            for r in range(n):
+                cand = np.nonzero(D[r] - raw_min[r] < 1.5e-6)[0]
+                if len(cand) == 1:
+                    clusters[r] = cand[0]
+                else:
+                    best = min((r6(float(D[r, j])), int(j)) for j in cand)
+                    clusters[r] = best[1]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "v": pdf[vec_col].to_numpy(),
+                    "cluster": clusters,
+                }
+            )
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    a = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _assign, f"id long, v {vec_type}, cluster long"
+    )
 
     def _cluster_pairs(pdf):  # noqa: ANN001, ANN202
         import numpy as np
