@@ -382,3 +382,30 @@ def test_integrity_result_shape(full):
                 else:
                     assert details.get("issues"), (v["validator_name"], details)
     assert seen_failed > 0
+
+
+def test_run_pipeline_plan_cache_fresh_execution(spark, corpus):
+    """Repeated run_pipeline calls on a semantically identical input
+    reuse the ANALYZED plan but must return independent DataFrames:
+    same results, distinct RDD lineage (so no shuffle output or result
+    can be reused across calls), and a different parameterization must
+    bypass the cache."""
+    from webxtract import pipeline as P
+
+    pages_path, _ = corpus
+    df1 = run_pipeline(spark.read.parquet(pages_path), run_date=RUN_DATE)
+    n_before = len(P._PLAN_CACHE)
+    df2 = run_pipeline(spark.read.parquet(pages_path), run_date=RUN_DATE)
+    # second call hit the cache (no new entry) ...
+    assert len(P._PLAN_CACHE) == n_before
+    # ... but execution state is NOT shared: fresh QueryExecution/RDD
+    rdd1 = df1._jdf.queryExecution().toRdd().id()
+    rdd2 = df2._jdf.queryExecution().toRdd().id()
+    assert rdd1 != rdd2
+    # identical results row-for-row
+    a = sorted(map(str, df1.select("url", "success", "doc_type.document_type").collect()))
+    b = sorted(map(str, df2.select("url", "success", "doc_type.document_type").collect()))
+    assert a == b
+    # a different run_date is a different plan: new cache entry
+    run_pipeline(spark.read.parquet(pages_path), run_date="2026-03-01")
+    assert len(P._PLAN_CACHE) == n_before + 1

