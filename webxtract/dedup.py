@@ -993,48 +993,92 @@ def doc_containment(
     ``min_chunks`` qualifying chunks produce no a-side row (one edge
     chunk would dominate the ratio).
 
-    Scale shape: chunk TEXT never leaves its partition — the explode
-    emits (id, hash60) only; the set-dedup, df-cap reduce, posting
-    self-join (on the hash), pair count, and size join all shuffle
-    two-bigint rows with map-side partial aggregation. Chunks
-    occurring in > ``max_df`` documents are dropped BEFORE the
-    self-join (default-ON, the LSH bucket-cap contract: a boilerplate
-    chunk shared by 10^6 pages must not become a 10^12-row bucket
-    join); dropped hot chunks can only LOWER recall for pairs that
-    were already near-identical elsewhere, never create false pairs.
+    Scale shape: chunk TEXT never leaves its partition — ONE kernel
+    pass emits each document's DISTINCT qualifying chunk hashes plus
+    its set size (within-doc dedup IS the global (id, hash) dedup, and
+    the per-doc count is known locally, so neither needs a shuffle).
+    The hashes group once by chunk_hash into bounded posting buckets
+    — the ``max_df`` cap is exactly the bucket size, so the cap filter
+    and the pair generation share that single exchange (the former
+    posting SELF-join re-evaluated the chunking subtree per side) —
+    and ordered pairs explode per bucket into the (a, b) count
+    aggregation. Chunks occurring in > ``max_df`` documents are
+    dropped BEFORE any pair exists (default-ON, the LSH bucket-cap
+    contract: a boilerplate chunk shared by 10^6 pages must not become
+    a 10^12-row bucket join); dropped hot chunks can only LOWER recall
+    for pairs that were already near-identical elsewhere, never create
+    false pairs.
     """
-    sets = (
-        _chunk_meta_frame(docs, id_col, text_col, boundary_mod)
-        .filter(F.col("n_tok") >= min_tok)
-        .select("id", "chunk_hash")
-        .distinct()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+
+    def _kernel(batches):  # noqa: ANN001, ANN202
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs, ns = [], [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                seen = set()
+                for _j, ntok, chunk in _py_chunk_spans(t, boundary_mod):
+                    if ntok >= min_tok:
+                        seen.add(
+                            int(
+                                hashlib.md5(
+                                    chunk.encode("utf-8")
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                        )
+                n = len(seen)
+                for h in seen:
+                    ids.append(rid)
+                    hs.append(h)
+                    ns.append(n)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "chunk_hash": pd.array(hs, dtype="int64"),
+                    "n_chunks": pd.array(ns, dtype="int64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("id", id_field.dataType, True),
+            StructField("chunk_hash", LongType(), True),
+            StructField("n_chunks", LongType(), True),
+        ]
     )
-    sizes = (
-        sets.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_chunks_a"))
-        .filter(F.col("n_chunks_a") >= min_chunks)
-    )
-    capped = (
+    sets = docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(_kernel, schema)
+    buckets = (
         sets.groupBy("chunk_hash")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select("chunk_hash")
+        .agg(F.collect_list(F.struct("id", "n_chunks")).alias("m"))
+        .filter(F.size("m") <= max_df)
     )
-    posts = sets.join(capped, "chunk_hash")
-    a = posts.select(F.col("chunk_hash"), F.col("id").alias("a"))
-    b = posts.select(F.col("chunk_hash"), F.col("id").alias("b"))
     pairs = (
-        a.join(b, "chunk_hash")
-        .filter(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
+        buckets.select(F.explode("m").alias("a"), "m")
+        .select("a", F.explode("m").alias("b"))
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("a"),
+            F.col("a.n_chunks").alias("n_chunks_a"),
+            F.col("b.id").alias("b"),
+        )
         .agg(F.count(F.lit(1)).alias("shared_chunks"))
     )
     ratio = F.col("shared_chunks").cast("double") / F.col(
         "n_chunks_a"
     ).cast("double")
     return (
-        pairs.join(sizes, pairs.a == sizes.id)
-        .filter(ratio >= F.lit(float(min_ratio)))
+        pairs.filter(
+            (F.col("n_chunks_a") >= min_chunks)
+            & (ratio >= F.lit(float(min_ratio)))
+        )
         .select(
             "a",
             "b",
