@@ -138,7 +138,17 @@ def run_pipeline(
     each action gets its own QueryExecution, physical plan and RDDs —
     the optimizer and every executor stage re-run in full, and no
     shuffle output, cached data or result can leak between calls
-    (verified: consecutive calls produce distinct RDD ids)."""
+    (verified: consecutive calls produce distinct RDD ids). Matching
+    uses Catalyst ``sameResult`` — the same keying Spark's own
+    CacheManager applies to persisted plans — so, exactly like
+    ``df.cache()``, a source path whose FILES are rewritten mid-session
+    would still match its pre-rewrite plan (and file listing) — even
+    from a freshly constructed reader (verified: ``sameResult`` is true
+    across an in-place rewrite, path-keyed). Inputs read by this
+    engine's entry points are immutable for the life of a session; a
+    caller that rewrites an input path in place must clear
+    ``_PLAN_CACHE`` (or write each epoch to its own path, which also
+    keeps Spark's own plan/data caches honest)."""
     from pyspark import SparkContext
 
     from webxtract.exprs import _IdKey
