@@ -409,3 +409,24 @@ def test_run_pipeline_plan_cache_fresh_execution(spark, corpus):
     # a different run_date is a different plan: new cache entry
     run_pipeline(spark.read.parquet(pages_path), run_date="2026-03-01")
     assert len(P._PLAN_CACHE) == n_before + 1
+
+
+def test_run_pipeline_cached_plan_physical_identity(spark, corpus):
+    """A cache hit wraps the producer's OPTIMIZED logical plan; the
+    physical plan Spark derives from it must be identical (modulo
+    expression ids) to the one the analyzed plan produces — i.e. the
+    cache changes driver time only, never what executors run."""
+    import re
+
+    pages_path, _ = corpus
+    df = run_pipeline(spark.read.parquet(pages_path), run_date=RUN_DATE)
+    qe = df._jdf.queryExecution()
+    analyzed, opt = qe.analyzed(), qe.optimizedPlan()
+    ofrows = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows
+
+    def phys(plan):
+        s = ofrows(spark._jsparkSession, plan).queryExecution().executedPlan().toString()
+        s = re.sub(r"#\d+", "#x", s)
+        return re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    assert phys(analyzed) == phys(opt)
