@@ -32,7 +32,25 @@ def get_spark(
     if master:
         builder = builder.master(master)
 
-    driver_mem = os.environ.get("WEBXTRACT_DRIVER_MEM", "32g")
+    # Local-mode heap default: 2 GB per executor thread (the driver JVM
+    # hosts every local[N] executor thread), i.e. standard executor
+    # sizing (4-8 GB per 2-4-core executor) applied to local mode and
+    # derived from the configured core count, not a constant. Raised
+    # from 1 GB/thread on an interleaved A/B of the 100k-doc pipeline
+    # (4 alternating JVMs): warm-pass walls 14.25 s mean / 75-151 s GC
+    # (32g) vs 11.73 s mean / 7-45 s GC (64g) at 32 threads — the
+    # details layer's short-lived allocation makes GC the binding
+    # constraint whenever cores are contended, and a young gen of
+    # 1 GB/thread (NewRatio=1 below) absorbs it. Override via
+    # WEBXTRACT_DRIVER_MEM; cluster executors size
+    # spark.executor.memory per their own core count instead.
+    # (capped at 64g: half this machine class's RAM — the A/B saw no
+    # further win past 64g, and -Xms must stay clear of the OS +
+    # Python-worker footprint whatever core count the env reports)
+    n_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "16") or 16)
+    driver_mem = os.environ.get(
+        "WEBXTRACT_DRIVER_MEM", f"{min(64, 2 * n_threads)}g"
+    )
 
     conf = {
         # Determinism: frozen zone for all timestamp/date arithmetic.
